@@ -1,0 +1,124 @@
+"""Index/mask manipulation ops.
+
+TPU-native equivalents of the reference's indexed_io CUDA kernels
+(csrc/indexed_io/{topk_indices,mask_to_indices,copy_indices}.cu) and of the
+module-level mask logic (modules/attn.py:76-84).  All are pure jnp — on TPU
+these are tiny compared to the attention/MLP kernels they feed, and XLA's
+sort/top_k lower well (SURVEY.md §2.2 notes pure-jnp is the plan here).
+
+Deviations from the reference, by design:
+  * randomness takes an explicit ``jax.random`` key (the reference seeds
+    curand from activation *data*, topk_indices.cu:46-49 — not reproducible).
+  * MLP top-k is exact per-row top-k, not the reference's sampled-quantile
+    approximation (topk_indices.cu:72-101): exact is cheap on TPU.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def topk_mask(scores: jnp.ndarray, k: int) -> jnp.ndarray:
+    """bool mask of the top-k entries along the last axis."""
+    if k <= 0:
+        return jnp.zeros(scores.shape, jnp.bool_)
+    _, idx = jax.lax.top_k(scores, k)
+    mask = jnp.zeros(scores.shape, jnp.bool_)
+    return _scatter_last(mask, idx, True)
+
+
+def _scatter_last(mask: jnp.ndarray, idx: jnp.ndarray, value) -> jnp.ndarray:
+    flat = mask.reshape(-1, mask.shape[-1])
+    fidx = idx.reshape(-1, idx.shape[-1])
+    out = jax.vmap(lambda m, i: m.at[i].set(value))(flat, fidx)
+    return out.reshape(mask.shape)
+
+
+def random_and_topk_mask(colsums: jnp.ndarray, k: int,
+                         key: jax.Array,
+                         sparse_query_groups: Optional[jnp.ndarray] = None,
+                         static_mask: Optional[jnp.ndarray] = None,
+                         random_frac: float = 0.01) -> jnp.ndarray:
+    """Attention column mask: ~random_frac random columns ∪ top-k of column
+    sums, gated by per-query-group "is sparse" flags, ∪ static mask
+    (reference modules/attn.py:76-84; the reference's randint(0,100)==0 is a
+    1% Bernoulli).
+
+    colsums: [B,H,G,Sk] fp32.  Returns bool [B,H,G,Sk].
+    """
+    mask = jax.random.bernoulli(key, random_frac, colsums.shape)
+    mask = mask | topk_mask(colsums, k)
+    if sparse_query_groups is not None:
+        mask = mask & sparse_query_groups
+    if static_mask is not None:
+        mask = mask | jnp.broadcast_to(static_mask, mask.shape)
+    return mask
+
+
+def mask_to_indices(mask: jnp.ndarray, multiple_of: int,
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row compaction of a bool mask into (indices, counts).
+
+    Mirrors torch.ops.chipmunk.mask_to_indices
+    (csrc/indexed_io/mask_to_indices.cu:44-87): counts are rounded **up** to
+    ``multiple_of`` and the index list is padded with unmasked column ids, so
+    consumers can assume whole tiles.  Selected indices come first, in
+    ascending order (stable argsort — ascending order maximizes DMA locality
+    on TPU).
+
+    mask: bool [..., n].  Returns inds int32 [..., n], counts int32 [...].
+    """
+    n = mask.shape[-1]
+    counts = mask.sum(axis=-1).astype(jnp.int32)
+    counts = ((counts + multiple_of - 1) // multiple_of) * multiple_of
+    counts = jnp.minimum(counts, n)
+    # stable sort: selected (key 0) first in index order, then unselected
+    inds = jnp.argsort(jnp.where(mask, 0, 1), axis=-1, stable=True)
+    return inds.astype(jnp.int32), counts
+
+
+def blockify_scores(scores: jnp.ndarray, block: int) -> jnp.ndarray:
+    """Sum scores within contiguous column blocks: [..., n] -> [..., n/block].
+
+    Used to turn token-granular colsum scores into block-granular selection
+    scores for the TPU gather kernels (config kv_block / neuron_block)."""
+    assert scores.shape[-1] % block == 0
+    return scores.reshape(*scores.shape[:-1], scores.shape[-1] // block,
+                          block).sum(axis=-1)
+
+
+def blockify_mask(mask: jnp.ndarray, block: int) -> jnp.ndarray:
+    """any() over contiguous column blocks: [..., n] -> bool [..., n/block]."""
+    assert mask.shape[-1] % block == 0
+    return mask.reshape(*mask.shape[:-1], mask.shape[-1] // block,
+                        block).any(axis=-1)
+
+
+def topk_indices(scores: jnp.ndarray, sparsity: float, multiple_of: int,
+                 random_frac: float, key: jax.Array,
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """MLP neuron selection (reference csrc/indexed_io/topk_indices.cu):
+    keep the top (1-sparsity) fraction per row plus a random_frac random keep;
+    counts rounded up to multiple_of.
+
+    scores: [..., n] (|bmfc1 - blockmean_mid_cache| sums).
+    Returns (inds [..., n], counts [...], mask [..., n]).
+    """
+    n = scores.shape[-1]
+    k = int(round((1.0 - sparsity) * n))
+    mask = topk_mask(scores, k)
+    if random_frac > 0:
+        mask = mask | jax.random.bernoulli(key, random_frac, scores.shape)
+    inds, counts = mask_to_indices(mask, multiple_of)
+    return inds, counts, mask
+
+
+def copy_indices(new: jnp.ndarray, cache: jnp.ndarray,
+                 sel_mask: jnp.ndarray) -> jnp.ndarray:
+    """Refresh cached block-means only at selected columns (reference
+    csrc/indexed_io/copy_indices.cu:33-78).  On TPU this is a select.
+
+    new/cache: [..., m, n]; sel_mask: bool broadcastable to them."""
+    return jnp.where(sel_mask, new, cache)
