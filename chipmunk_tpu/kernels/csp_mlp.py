@@ -1,0 +1,192 @@
+"""Pallas TPU column-sparse delta MLP kernels.
+
+TPU equivalents of the reference's sparse MLP chain (SURVEY.md §3.3):
+  * ``csp_mlp_mm1`` ← csrc/mlp/csp_mlp_mm1.cu — for each 128-token block,
+    recompute only the selected fc1 neurons: gather weight columns, fused
+    bias + tanh-gelu, subtract the cached post-activations, emit the packed
+    delta AND refresh the activation cache at the selected positions.
+  * ``csp_mlp_mm2`` ← csrc/mlp/csp_mlp_mm2_and_scatter_add.cu — fold the
+    packed delta into the output cache: ``out += packed @ fc2[sel]``.
+
+TPU-first design:
+  * neuron indices are **block-granular** (``neuron_block`` neurons per
+    index, config mlp.neuron_block): every gather of fc1ᵀ/fc2 rows is one
+    contiguous DMA driven by a scalar-prefetched BlockSpec index map — the
+    TPU analogue of the reference's register-cached index gather
+    (csrc/common/memory/global_to_shared.cuh:19-58).
+  * the reference's CUDA-graph SM-partitioning trick (scatter_add on 6 SMs
+    concurrent with the Triton GEMM on the rest, csp_mlp_mm2_and_scatter_add
+    .cu:96-259) is GPU launch-overhead engineering with no TPU meaning: here
+    the cache refresh is fused into mm1's output index map (a scattered
+    block write), and mm2 accumulates into the donated out_cache.
+  * the activation cache is token-major [T, N] (the reference keeps it
+    transposed [N, T] for its mm1 register epilogue, modules/mlp.py:56 —
+    pointless under Mosaic layouts).
+
+Index contract (enforced by wrappers): int32 block ids in [0, N/bn),
+unique within a row, padded by repeating the last valid id; counts >= 1.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .csp_attention import pad_block_indices
+
+BM = 128  # token block ([128,1] pattern, reference mlp.bm)
+
+
+def _mm1_kernel(inds_ref, counts_ref,           # scalar prefetch (SMEM)
+                x_ref, w1t_ref, b1_ref, cache_ref,
+                packed_ref, newcache_ref):
+    m, j = pl.program_id(0), pl.program_id(1)
+    valid = j < counts_ref[m]
+    x = x_ref[:]                                  # [BM, C] bf16
+    w = w1t_ref[:]                                # [bn, C] bf16
+    mid = jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    mid = mid + b1_ref[0][None, :].astype(jnp.float32)
+    act = jax.nn.gelu(mid, approximate=True).astype(cache_ref.dtype)
+
+    @pl.when(valid)
+    def _():
+        packed_ref[:] = (act.astype(jnp.float32)
+                         - cache_ref[:].astype(jnp.float32)
+                         ).astype(packed_ref.dtype)
+        newcache_ref[:] = act
+
+    @pl.when(jnp.logical_not(valid))
+    def _():
+        # packed block (m, j) is unique per j: zero it so consumers may
+        # reduce over the full jmax without masking.  The newcache block
+        # aliases the last valid one — leave its buffer untouched.
+        packed_ref[:] = jnp.zeros_like(packed_ref)
+
+
+@functools.partial(jax.jit, static_argnames=('bn', 'interpret'))
+def csp_mlp_mm1(x: jnp.ndarray, w1t: jnp.ndarray, b1: jnp.ndarray,
+                act_cache: jnp.ndarray,
+                inds: jnp.ndarray, counts: jnp.ndarray,
+                bn: int = 128, interpret: bool = False,
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stage-1 sparse MLP.
+
+    x: [T, C]; w1t: [N, C] (fc1 weight, output-major); b1: [N];
+    act_cache: [T, N]; inds: int32 [M, jmax] neuron-block ids;
+    counts: int32 [M];  M = T // 128.
+    Returns (packed [T, jmax*bn] delta, new act_cache [T, N]).
+    act_cache is donated/aliased into the new cache.
+    """
+    T, C = x.shape
+    N = w1t.shape[0]
+    assert T % BM == 0 and N % bn == 0
+    M, jmax = inds.shape
+    assert M == T // BM
+    counts = jnp.clip(counts, 1, jmax).astype(jnp.int32)
+    inds = pad_block_indices(inds, counts).astype(jnp.int32)
+    b1r = b1.reshape(N // bn, bn)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(M, jmax),
+        in_specs=[
+            pl.BlockSpec((BM, C), lambda m, j, I, c: (m, 0)),
+            pl.BlockSpec((bn, C), lambda m, j, I, c: (I[m, j], 0)),
+            pl.BlockSpec((1, bn), lambda m, j, I, c: (I[m, j], 0)),
+            pl.BlockSpec((BM, bn), lambda m, j, I, c: (m, I[m, j])),
+        ],
+        out_specs=[
+            pl.BlockSpec((BM, bn), lambda m, j, I, c: (m, j)),
+            pl.BlockSpec((BM, bn), lambda m, j, I, c: (m, I[m, j])),
+        ],
+    )
+    packed, new_cache = pl.pallas_call(
+        _mm1_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, jmax * bn), x.dtype),
+            jax.ShapeDtypeStruct((T, N), act_cache.dtype),
+        ],
+        # inputs: [inds, counts, x, w1t, b1r, act_cache] -> alias cache->out1
+        input_output_aliases={5: 1},
+        interpret=interpret,
+    )(inds, counts, x, w1t, b1r, act_cache)
+    return packed, new_cache
+
+
+def _mm2_kernel(inds_ref, counts_ref,
+                packed_ref, w2_ref, outin_ref,
+                out_ref, acc_ref):
+    m, j = pl.program_id(0), pl.program_id(1)
+    nj = pl.num_programs(1)
+    valid = j < counts_ref[m]
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = outin_ref[:].astype(jnp.float32)
+
+    @pl.when(valid)
+    def _():
+        acc_ref[:] += jax.lax.dot_general(
+            packed_ref[:], w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('bn', 'interpret'))
+def csp_mlp_mm2(packed: jnp.ndarray, w2: jnp.ndarray, out_cache: jnp.ndarray,
+                inds: jnp.ndarray, counts: jnp.ndarray,
+                bn: int = 128, interpret: bool = False) -> jnp.ndarray:
+    """Stage-2 sparse MLP: out_cache += packed @ w2[selected rows].
+
+    packed: [T, jmax*bn]; w2: [N, Cout]; out_cache: [T, Cout] (donated).
+    Returns the updated out_cache.
+    """
+    T, _ = packed.shape
+    N, Cout = w2.shape
+    M, jmax = inds.shape
+    assert M == T // BM
+    counts = jnp.clip(counts, 1, jmax).astype(jnp.int32)
+    inds = pad_block_indices(inds, counts).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(M, jmax),
+        in_specs=[
+            pl.BlockSpec((BM, bn), lambda m, j, I, c: (m, j)),
+            pl.BlockSpec((bn, Cout), lambda m, j, I, c: (I[m, j], 0)),
+            pl.BlockSpec((BM, Cout), lambda m, j, I, c: (m, 0)),
+        ],
+        out_specs=pl.BlockSpec((BM, Cout), lambda m, j, I, c: (m, 0)),
+        scratch_shapes=[pltpu.VMEM((BM, Cout), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        _mm2_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, Cout), out_cache.dtype),
+        input_output_aliases={4: 0},  # out_cache -> out
+        interpret=interpret,
+    )(inds, counts, packed, w2, out_cache)
+    return out
+
+
+def csp_mlp(x: jnp.ndarray, w1t: jnp.ndarray, b1: jnp.ndarray,
+            w2: jnp.ndarray, act_cache: jnp.ndarray, out_cache: jnp.ndarray,
+            inds: jnp.ndarray, counts: jnp.ndarray,
+            bn: int = 128, interpret: bool = False,
+            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full sparse MLP step (reference ops/mlp.py run_e2e:63-92).
+    Returns (new_out_cache, new_act_cache)."""
+    packed, new_cache = csp_mlp_mm1(x, w1t, b1, act_cache, inds, counts,
+                                    bn=bn, interpret=interpret)
+    new_out = csp_mlp_mm2(packed, w2, out_cache, inds, counts,
+                          bn=bn, interpret=interpret)
+    return new_out, new_cache

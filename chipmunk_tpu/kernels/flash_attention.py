@@ -1,0 +1,239 @@
+"""Pallas TPU flash attention forward, with lse output and an optional fused
+per-query-group column-sum output.
+
+TPU equivalents of the reference CUDA kernels (SURVEY.md §2.2):
+  * ``dense_attn``        ← csrc/attn/dense_attn.cu (FA2-style fwd + lse)
+  * ``dense_colsum_attn`` ← csrc/attn/dense_colsum_attn.cu (adds per-
+    query-group column sums of prev-step-normalized probabilities)
+
+Design notes (TPU-first, not a port):
+  * base-2 softmax with tau = log2(e)/sqrt(D); lse emitted in **log2 domain**
+    (see ops/attn_ref.py for the format rationale vs the reference's
+    reciprocal, dense_colsum_attn.cu:316-319).
+  * grid = (B*H, Sq/BQ, Sk/BK) with the KV dimension innermost: the running
+    (m, l, acc) state lives in VMEM scratch that persists across the KV
+    sweep; output is finalized on the last KV block.  One program owns an
+    entire 128-row query group, so the colsum accumulator is a plain row
+    write per KV block — no cross-warpgroup smem atomics needed (the
+    reference burns a smem ring + store_add for this,
+    dense_colsum_attn.cu:142-177).
+  * the colsum variant needs no extra reduction pass: with the fixed
+    prev-step normalizer, colsums are independent of the running max.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.attn_ref import attn_scale
+
+DEFAULT_BQ = 128
+DEFAULT_BK = 512
+NEG_INF = -1.0e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref,            # inputs
+                  o_ref, lse_ref,                 # outputs
+                  acc_ref, m_ref, l_ref,          # scratch
+                  *, tau: float, sk_valid: int, bq: int, bk: int):
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0].astype(jnp.float32)              # [BQ, D]
+    k = k_ref[0].astype(jnp.float32)              # [BK, D]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * tau
+    if sk_valid % bk != 0:
+        # mask padded KV rows on the last block
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * bk
+        s = jnp.where(col < sk_valid, s, NEG_INF)
+
+    m_prev = m_ref[:]                              # [BQ, 1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp2(s - m_new)                        # [BQ, BK]
+    alpha = jnp.exp2(m_prev - m_new)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:] = m_new
+    v = v_ref[0].astype(jnp.float32)
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p.astype(v_ref.dtype).astype(jnp.float32), v,
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        l = l_ref[:]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+        lse_ref[0] = (m_ref[:] + jnp.log2(l_safe))[:, 0]
+
+
+def _colsum_kernel(q_ref, k_ref, v_ref, prev_lse_ref,
+                   o_ref, lse_ref, cs_ref,
+                   acc_ref, m_ref, l_ref,
+                   *, tau: float, sk_valid: int, bq: int, bk: int):
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * tau
+    if sk_valid % bk != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * bk
+        s = jnp.where(col < sk_valid, s, NEG_INF)
+
+    # column sums normalized by the previous step's lse — independent of the
+    # running max, so written directly per KV block
+    # (reference dense_colsum_attn.cu:267-274)
+    p_prev = jnp.exp2(s - prev_lse_ref[0][:, None])   # [BQ, BK]
+    cs_ref[0, 0] = jnp.sum(p_prev, axis=0)            # [BK]
+
+    m_prev = m_ref[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp2(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:] = m_new
+    v = v_ref[0].astype(jnp.float32)
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p.astype(v_ref.dtype).astype(jnp.float32), v,
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        l = l_ref[:]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+        lse_ref[0] = (m_ref[:] + jnp.log2(l_safe))[:, 0]
+
+
+def _pad_to(x, mult, axis):
+    n = x.shape[axis]
+    pad = (-n) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=('bq', 'bk', 'interpret'))
+def dense_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+               bq: int = DEFAULT_BQ, bk: int = DEFAULT_BK,
+               interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Flash attention forward.  q,k,v: [B,H,S,D] -> (o [B,H,Sq,D],
+    lse fp32 [B,H,Sq] in log2 domain).  Sq is padded internally to bq;
+    padded rows return lse of the padded computation and are sliced off."""
+    B, H, Sq, D = q.shape
+    Sk = k.shape[-2]
+    qp = _pad_to(q.reshape(B * H, Sq, D), bq, 1)
+    kp = _pad_to(k.reshape(B * H, Sk, D), bk, 1)
+    vp = _pad_to(v.reshape(B * H, Sk, D), bk, 1)
+    Sqp, Skp = qp.shape[1], kp.shape[1]
+    grid = (B * H, Sqp // bq, Skp // bk)
+    o, lse = pl.pallas_call(
+        functools.partial(_flash_kernel, tau=attn_scale(D), sk_valid=Sk,
+                          bq=bq, bk=bk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq), lambda b, i, j: (b, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Sqp, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, Sqp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, D), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp)
+    return (o[:, :Sq].reshape(B, H, Sq, D),
+            lse[:, :Sq].reshape(B, H, Sq))
+
+
+@functools.partial(jax.jit, static_argnames=('bq', 'bk', 'interpret'))
+def dense_colsum_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                      prev_lse: jnp.ndarray,
+                      bq: int = DEFAULT_BQ, bk: int = DEFAULT_BK,
+                      interpret: bool = False,
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Flash attention forward that also emits per-query-group column sums
+    of the prev-lse-normalized probabilities.
+
+    The query-group size equals ``bq``.  Padded query rows must carry
+    prev_lse = +big (ops.attn_ref.PAD_LSE) so they contribute 0.
+
+    Returns (o [B,H,Sq,D], colsums fp32 [B,H,G,Sk], lse fp32 [B,H,Sq]).
+    """
+    B, H, Sq, D = q.shape
+    Sk = k.shape[-2]
+    from ..ops.attn_ref import PAD_LSE
+    qp = _pad_to(q.reshape(B * H, Sq, D), bq, 1)
+    lp = _pad_to(prev_lse.reshape(B * H, Sq), bq, 1)
+    if qp.shape[1] != Sq:
+        pad_rows = qp.shape[1] - Sq
+        lp = lp.at[:, Sq:].set(PAD_LSE)
+        del pad_rows
+    kp = _pad_to(k.reshape(B * H, Sk, D), bk, 1)
+    vp = _pad_to(v.reshape(B * H, Sk, D), bk, 1)
+    Sqp, Skp = qp.shape[1], kp.shape[1]
+    G = Sqp // bq
+    grid = (B * H, G, Skp // bk)
+    o, lse, cs = pl.pallas_call(
+        functools.partial(_colsum_kernel, tau=attn_scale(D), sk_valid=Sk,
+                          bq=bq, bk=bk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bq), lambda b, i, j: (b, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq), lambda b, i, j: (b, i)),
+            pl.BlockSpec((1, 1, bk), lambda b, i, j: (b, i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Sqp, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, Sqp), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, G, Skp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, D), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, lp)
+    return (o[:, :Sq].reshape(B, H, Sq, D),
+            cs[:, :, :Sk].reshape(B, H, G, Sk),
+            lse[:, :Sq].reshape(B, H, Sq))

@@ -1,0 +1,123 @@
+"""Pallas kernels vs eager references, interpret mode on CPU
+(SURVEY.md §4: every kernel has a CPU-runnable twin)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chipmunk_tpu import ops
+from chipmunk_tpu.kernels import (dense_attn, dense_colsum_attn, csp_attn,
+                                  csp_mlp_mm1, csp_mlp_mm2, csp_mlp)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def rand_qkv(b=1, h=2, s=256, d=128, dtype=jnp.float32):
+    ks = jax.random.split(KEY, 3)
+    return tuple(jax.random.normal(k, (b, h, s, d), dtype) for k in ks)
+
+
+def test_dense_attn_kernel():
+    q, k, v = rand_qkv()
+    o, lse = dense_attn(q, k, v, bq=128, bk=128, interpret=True)
+    o_ref, lse_ref = ops.dense_attn_ref(q, k, v)
+    np.testing.assert_allclose(o, o_ref, atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(lse, lse_ref, atol=2e-3, rtol=2e-3)
+
+
+def test_dense_attn_kernel_unaligned_seq():
+    q, k, v = rand_qkv(s=300)  # not a multiple of bq or bk
+    o, lse = dense_attn(q, k, v, bq=128, bk=128, interpret=True)
+    o_ref, lse_ref = ops.dense_attn_ref(q, k, v)
+    np.testing.assert_allclose(o, o_ref, atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(lse, lse_ref, atol=2e-3, rtol=2e-3)
+
+
+def test_colsum_attn_kernel():
+    q, k, v = rand_qkv(s=256)
+    _, prev_lse = ops.dense_attn_ref(q, k, v)
+    o, cs, lse = dense_colsum_attn(q, k, v, prev_lse, bq=128, bk=128,
+                                   interpret=True)
+    o_ref, cs_ref, lse_ref = ops.dense_colsum_attn_ref(q, k, v, prev_lse, 128)
+    np.testing.assert_allclose(o, o_ref, atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(lse, lse_ref, atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(cs, cs_ref, atol=1e-2, rtol=1e-3)
+
+
+@pytest.mark.parametrize('kv_block', [128, 32])
+def test_csp_attn_kernel_vs_ref(kv_block):
+    q, k, v = rand_qkv(s=512)
+    B, H, S, D = q.shape
+    qg = 128
+    G, NB = S // qg, S // kv_block
+    key = jax.random.PRNGKey(11)
+    mask = jax.random.bernoulli(key, 0.4, (B, H, G, NB))
+    mask = mask.at[..., 0].set(True)  # counts >= 1
+    inds, counts = ops.mask_to_indices(mask, multiple_of=1)
+    o = csp_attn(q, k, v, inds, counts, qg=qg, kv_block=kv_block,
+                 interpret=True)
+    o_ref = ops.csp_block_attn_ref(q, k, v, inds, counts, qg, kv_block)
+    np.testing.assert_allclose(o, o_ref, atol=2e-3, rtol=2e-3)
+
+
+def test_csp_attn_full_blocks_equals_dense():
+    q, k, v = rand_qkv(s=256)
+    B, H, S, D = q.shape
+    qg = kv_block = 128
+    G, NB = S // qg, S // kv_block
+    inds = jnp.broadcast_to(jnp.arange(NB, dtype=jnp.int32), (B, H, G, NB))
+    counts = jnp.full((B, H, G), NB, jnp.int32)
+    o = csp_attn(q, k, v, inds, counts, qg=qg, kv_block=kv_block,
+                 interpret=True)
+    o_ref, _ = ops.dense_attn_ref(q, k, v)
+    np.testing.assert_allclose(o, o_ref, atol=2e-3, rtol=2e-3)
+
+
+def test_csp_mlp_kernels_vs_ref():
+    T, C, N, bn = 256, 64, 512, 64
+    M, NB = T // 128, N // bn
+    ks = jax.random.split(jax.random.PRNGKey(4), 8)
+    x = jax.random.normal(ks[0], (T, C), jnp.float32) * 0.5
+    w1t = jax.random.normal(ks[1], (N, C), jnp.float32) * 0.1
+    b1 = jax.random.normal(ks[2], (N,), jnp.float32) * 0.1
+    w2 = jax.random.normal(ks[3], (N, C), jnp.float32) * 0.1
+    act_cache = jax.random.normal(ks[4], (T, N), jnp.float32) * 0.5
+    out_cache = jax.random.normal(ks[5], (T, C), jnp.float32) * 0.5
+    mask = jax.random.bernoulli(ks[6], 0.5, (M, NB)).at[:, 0].set(True)
+    inds, counts = ops.mask_to_indices(mask, multiple_of=1)
+
+    new_out, new_cache = csp_mlp(x, w1t, b1, w2, act_cache, out_cache,
+                                 inds, counts, bn=bn, interpret=True)
+    # expand block indices to token-granular neuron indices for the reference
+    tinds = (inds[..., None] * bn + jnp.arange(bn)).reshape(M, -1)
+    tcounts = counts * bn
+    ref_out, ref_cache = ops.csp_mlp_ref(
+        x, w1t.T, b1, w2, tinds.astype(jnp.int32), tcounts,
+        act_cache, out_cache, bm=128,
+        act=lambda z: jax.nn.gelu(z, approximate=True))
+    np.testing.assert_allclose(new_cache, ref_cache, atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(new_out, ref_out, atol=1e-2, rtol=1e-3)
+
+
+def test_csp_mlp_full_indices_equals_dense_delta():
+    """With all blocks selected, cache becomes exactly act(fc1 x) and
+    out_cache advances by the full delta — telescoping to dense."""
+    T, C, N, bn = 128, 64, 256, 64
+    ks = jax.random.split(jax.random.PRNGKey(9), 6)
+    x0 = jax.random.normal(ks[0], (T, C)) * 0.5
+    x1 = jax.random.normal(ks[5], (T, C)) * 0.5
+    w1t = jax.random.normal(ks[1], (N, C)) * 0.1
+    b1 = jax.random.normal(ks[2], (N,)) * 0.1
+    w2 = jax.random.normal(ks[3], (N, C)) * 0.1
+    act = lambda z: jax.nn.gelu(z, approximate=True)
+    # full step at x0
+    out0, mid0, pa0 = ops.dense_mlp_ref(x0, w1t.T, b1, w2,
+                                        jnp.zeros((C,)), act)
+    M, NB = 1, N // bn
+    inds = jnp.arange(NB, dtype=jnp.int32)[None, :]
+    counts = jnp.full((M,), NB, jnp.int32)
+    new_out, new_cache = csp_mlp(x1, w1t, b1, w2, pa0, out0, inds, counts,
+                                 bn=bn, interpret=True)
+    out1, _, pa1 = ops.dense_mlp_ref(x1, w1t.T, b1, w2, jnp.zeros((C,)), act)
+    np.testing.assert_allclose(new_cache, pa1, atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(new_out, out1, atol=1e-2, rtol=1e-2)
