@@ -61,14 +61,14 @@ def _csp_kernel(inds_ref, counts_ref,            # SMEM (blocked per group)
                 acc_ref, m_ref, l_ref,            # VMEM scratch
                 sems,                             # DMA sems [2, 2, per_tile]
                 *, tau: float, kv_block: int, n_tiles: int, qg: int):
-    b = pl.program_id(0)
+    b, g = pl.program_id(0), pl.program_id(1)
     per_tile = COMPUTE_TILE // kv_block
-    count = counts_ref[0, 0]                      # valid gather blocks
+    count = counts_ref[0, 0, g]                      # valid gather blocks
     # number of compute tiles actually needed (ceil)
     live_tiles = (count + per_tile - 1) // per_tile
 
     def tile_dma(jc, slot, t):
-        idx = inds_ref[0, 0, jc * per_tile + t]
+        idx = inds_ref[0, g, jc * per_tile + t]
         kd = pltpu.make_async_copy(
             k_hbm.at[b, pl.ds(idx * kv_block, kv_block), :],
             kt_ref.at[slot, pl.ds(t * kv_block, kv_block), :],
@@ -99,7 +99,7 @@ def _csp_kernel(inds_ref, counts_ref,            # SMEM (blocked per group)
     def _():
         start_tile(0, 0)
 
-    q = q_ref[0].astype(jnp.float32)              # [qg, D]
+    q = q_ref[0]                                  # [qg, D]
 
     def body(jc, _):
         slot = jax.lax.rem(jc, 2)
@@ -111,8 +111,7 @@ def _csp_kernel(inds_ref, counts_ref,            # SMEM (blocked per group)
         @pl.when(jc < live_tiles)
         def _compute():
             wait_tile(jc, slot)
-            k = kt_ref[slot].astype(jnp.float32)  # [TILE, D]
-            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+            s = jax.lax.dot_general(q, kt_ref[slot], (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32) * tau
             # mask gather sub-blocks beyond count on the last live tile
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -125,9 +124,9 @@ def _csp_kernel(inds_ref, counts_ref,            # SMEM (blocked per group)
             alpha = jnp.exp2(m_prev - m_new)
             l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
             m_ref[:] = m_new
-            v = vt_ref[slot].astype(jnp.float32)
             acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-                p, v, preferred_element_type=jnp.float32)
+                p.astype(vt_ref.dtype), vt_ref[slot],
+                preferred_element_type=jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, n_tiles, body, 0)
@@ -172,16 +171,18 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kf = k.reshape(B * H, Sk, D)
     vf = v.reshape(B * H, Sk, D)
     indsf = block_inds.reshape(B * H, G, jmax)
-    countsf = block_counts.reshape(B * H, G).astype(jnp.int32)
+    countsf = block_counts.reshape(B * H, 1, G).astype(jnp.int32)
 
     o = pl.pallas_call(
         functools.partial(_csp_kernel, tau=attn_scale(D), kv_block=kv_block,
                           n_tiles=n_tiles, qg=qg),
         grid=(B * H, G),
         in_specs=[
-            pl.BlockSpec((1, 1, jmax), lambda b, g: (b, g, 0),
+            # whole per-(b,h) index plane in SMEM (TPU block-shape rules
+            # disallow single-row SMEM blocks; a plane is a few KB)
+            pl.BlockSpec((1, G, jmax), lambda b, g: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda b, g: (b, g),
+            pl.BlockSpec((1, 1, G), lambda b, g: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, qg, D), lambda b, g: (b, g, 0)),
             pl.BlockSpec(memory_space=pl.ANY),

@@ -50,7 +50,7 @@ def _mm1_kernel(inds_ref, counts_ref,           # scalar prefetch (SMEM)
     w = w1t_ref[:]                                # [bn, C] bf16
     mid = jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    mid = mid + b1_ref[0][None, :].astype(jnp.float32)
+    mid = mid + b1_ref[0].astype(jnp.float32)
     act = jax.nn.gelu(mid, approximate=True).astype(cache_ref.dtype)
 
     @pl.when(valid)
@@ -89,7 +89,7 @@ def csp_mlp_mm1(x: jnp.ndarray, w1t: jnp.ndarray, b1: jnp.ndarray,
     assert M == T // BM
     counts = jnp.clip(counts, 1, jmax).astype(jnp.int32)
     inds = pad_block_indices(inds, counts).astype(jnp.int32)
-    b1r = b1.reshape(N // bn, bn)
+    b1r = b1.reshape(N // bn, 1, bn)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -97,7 +97,7 @@ def csp_mlp_mm1(x: jnp.ndarray, w1t: jnp.ndarray, b1: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((BM, C), lambda m, j, I, c: (m, 0)),
             pl.BlockSpec((bn, C), lambda m, j, I, c: (I[m, j], 0)),
-            pl.BlockSpec((1, bn), lambda m, j, I, c: (I[m, j], 0)),
+            pl.BlockSpec((1, 1, bn), lambda m, j, I, c: (I[m, j], 0, 0)),
             pl.BlockSpec((BM, bn), lambda m, j, I, c: (m, I[m, j])),
         ],
         out_specs=[

@@ -51,9 +51,7 @@ def _flash_kernel(q_ref, k_ref, v_ref,            # inputs
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0].astype(jnp.float32)              # [BQ, D]
-    k = k_ref[0].astype(jnp.float32)              # [BK, D]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+    s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * tau
     if sk_valid % bk != 0:
         # mask padded KV rows on the last block
@@ -67,9 +65,8 @@ def _flash_kernel(q_ref, k_ref, v_ref,            # inputs
     alpha = jnp.exp2(m_prev - m_new)
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     m_ref[:] = m_new
-    v = v_ref[0].astype(jnp.float32)
     acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-        p.astype(v_ref.dtype).astype(jnp.float32), v,
+        p.astype(v_ref.dtype), v_ref[0],
         preferred_element_type=jnp.float32)
 
     @pl.when(j == nj - 1)
@@ -77,35 +74,51 @@ def _flash_kernel(q_ref, k_ref, v_ref,            # inputs
         l = l_ref[:]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
-        lse_ref[0] = (m_ref[:] + jnp.log2(l_safe))[:, 0]
+        lse_ref[0] = m_ref[:] + jnp.log2(l_safe)
 
 
 def _colsum_kernel(q_ref, k_ref, v_ref, prev_lse_ref,
                    o_ref, lse_ref, cs_ref,
-                   acc_ref, m_ref, l_ref,
-                   *, tau: float, sk_valid: int, bq: int, bk: int):
-    j = pl.program_id(2)
+                   acc_ref, m_ref, l_ref, csacc_ref,
+                   *, tau: float, sk_valid: int, bq: int, bk: int,
+                   score_block: int):
+    b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     nj = pl.num_programs(2)
+    ng = pl.num_programs(1)
+    nb = bk // score_block
 
     @pl.when(j == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
+        csacc_ref[:] = jnp.zeros_like(csacc_ref)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+    s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * tau
     if sk_valid % bk != 0:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * bk
         s = jnp.where(col < sk_valid, s, NEG_INF)
 
-    # column sums normalized by the previous step's lse — independent of the
-    # running max, so written directly per KV block
-    # (reference dense_colsum_attn.cu:267-274)
-    p_prev = jnp.exp2(s - prev_lse_ref[0][:, None])   # [BQ, BK]
-    cs_ref[0, 0] = jnp.sum(p_prev, axis=0)            # [BK]
+    # Column sums normalized by the previous step's lse — independent of the
+    # running max, so written directly per KV block (reference
+    # dense_colsum_attn.cu:267-274).  Emitted at score_block granularity
+    # (summed within each kv block): that's the selection granule of the TPU
+    # gather kernels, and it keeps the output O(S/score_block) instead of
+    # O(S) per group — at video scale the reference's token-granular colsum
+    # tensor would be several GB (dense_colsum_attn.cu:580-583).
+    p_prev = jnp.exp2(s - prev_lse_ref[0])            # [BQ, BK]
+    token_sums = jnp.sum(p_prev, axis=0, keepdims=True)   # [1, BK]
+    # scatter the nb block sums to lanes [j*nb, (j+1)*nb) of the accumulator
+    # row with a shifted 0/1 matrix on the MXU (dynamic-lane stores must be
+    # 128-aligned on TPU, so we accumulate instead)
+    nbp = csacc_ref.shape[-1]
+    bsm = (jax.lax.broadcasted_iota(jnp.int32, (bk, nbp), 0) // score_block
+           + j * nb
+           == jax.lax.broadcasted_iota(jnp.int32, (bk, nbp), 1)
+           ).astype(jnp.float32)
+    csacc_ref[:] += jnp.dot(token_sums, bsm,
+                            preferred_element_type=jnp.float32)
 
     m_prev = m_ref[:]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -114,9 +127,8 @@ def _colsum_kernel(q_ref, k_ref, v_ref, prev_lse_ref,
     alpha = jnp.exp2(m_prev - m_new)
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     m_ref[:] = m_new
-    v = v_ref[0].astype(jnp.float32)
     acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-        p.astype(v_ref.dtype).astype(jnp.float32), v,
+        p.astype(v_ref.dtype), v_ref[0],
         preferred_element_type=jnp.float32)
 
     @pl.when(j == nj - 1)
@@ -124,7 +136,10 @@ def _colsum_kernel(q_ref, k_ref, v_ref, prev_lse_ref,
         l = l_ref[:]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
-        lse_ref[0] = (m_ref[:] + jnp.log2(l_safe))[:, 0]
+        lse_ref[0] = m_ref[:] + jnp.log2(l_safe)
+        # cs rows are packed 8 query-groups per block (TPU block-shape rule:
+        # second-to-last dim must be 8-divisible); row within block:
+        cs_ref[jax.lax.rem(b * ng + i, 8), :] = csacc_ref[0]
 
 
 def _pad_to(x, mult, axis):
@@ -162,11 +177,11 @@ def dense_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         ],
         out_specs=[
             pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bq), lambda b, i, j: (b, i)),
+            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B * H, Sqp, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, Sqp), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, Sqp, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, D), jnp.float32),
@@ -176,64 +191,72 @@ def dense_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         interpret=interpret,
     )(qp, kp, vp)
     return (o[:, :Sq].reshape(B, H, Sq, D),
-            lse[:, :Sq].reshape(B, H, Sq))
+            lse[:, :Sq, 0].reshape(B, H, Sq))
 
 
-@functools.partial(jax.jit, static_argnames=('bq', 'bk', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('bq', 'bk', 'score_block',
+                                              'interpret'))
 def dense_colsum_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       prev_lse: jnp.ndarray,
                       bq: int = DEFAULT_BQ, bk: int = DEFAULT_BK,
+                      score_block: int = 128,
                       interpret: bool = False,
                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Flash attention forward that also emits per-query-group column sums
-    of the prev-lse-normalized probabilities.
+    """Flash attention forward that also emits per-query-group column-sum
+    **selection scores** of the prev-lse-normalized probabilities, summed
+    within ``score_block``-token KV blocks (the gather granule of csp_attn).
 
     The query-group size equals ``bq``.  Padded query rows must carry
     prev_lse = +big (ops.attn_ref.PAD_LSE) so they contribute 0.
 
-    Returns (o [B,H,Sq,D], colsums fp32 [B,H,G,Sk], lse fp32 [B,H,Sq]).
+    Returns (o [B,H,Sq,D], block colsums fp32 [B,H,G,ceil(Sk/score_block)],
+    lse fp32 [B,H,Sq]).
     """
     B, H, Sq, D = q.shape
     Sk = k.shape[-2]
     from ..ops.attn_ref import PAD_LSE
     qp = _pad_to(q.reshape(B * H, Sq, D), bq, 1)
-    lp = _pad_to(prev_lse.reshape(B * H, Sq), bq, 1)
+    lp = _pad_to(prev_lse.reshape(B * H, Sq, 1), bq, 1)
     if qp.shape[1] != Sq:
-        pad_rows = qp.shape[1] - Sq
         lp = lp.at[:, Sq:].set(PAD_LSE)
-        del pad_rows
     kp = _pad_to(k.reshape(B * H, Sk, D), bk, 1)
     vp = _pad_to(v.reshape(B * H, Sk, D), bk, 1)
     Sqp, Skp = qp.shape[1], kp.shape[1]
     G = Sqp // bq
+    NB = Skp // score_block
+    NBp = NB + (-NB) % 128
     grid = (B * H, G, Skp // bk)
     o, lse, cs = pl.pallas_call(
         functools.partial(_colsum_kernel, tau=attn_scale(D), sk_valid=Sk,
-                          bq=bq, bk=bk),
+                          bq=bq, bk=bk, score_block=score_block),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bq), lambda b, i, j: (b, i)),
+            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bq), lambda b, i, j: (b, i)),
-            pl.BlockSpec((1, 1, bk), lambda b, i, j: (b, i, j)),
+            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((8, NBp),
+                         lambda b, i, j, G=G: ((b * G + i) // 8, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B * H, Sqp, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, Sqp), jnp.float32),
-            jax.ShapeDtypeStruct((B * H, G, Skp), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, Sqp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((((B * H * G + 7) // 8) * 8, NBp),
+                                 jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, D), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((1, NBp), jnp.float32),
         ],
         interpret=interpret,
     )(qp, kp, vp, lp)
+    nb_valid = -(-Sk // score_block)
     return (o[:, :Sq].reshape(B, H, Sq, D),
-            cs[:, :, :Sk].reshape(B, H, G, Sk),
-            lse[:, :Sq].reshape(B, H, Sq))
+            cs[:B * H * G, :nb_valid].reshape(B, H, G, nb_valid),
+            lse[:, :Sq, 0].reshape(B, H, Sq))

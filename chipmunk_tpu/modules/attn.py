@@ -1,0 +1,196 @@
+"""Sparse delta attention module — functional TPU rebuild of the reference's
+``SparseDiffAttn`` (src/chipmunk/modules/attn.py:16-204).
+
+The reference is an nn.Module wired to process-global singletons (layer
+counter, static-mask singletons, offloaded storage).  Here the module is a
+**static-config object whose methods are pure functions over an explicit
+``AttnState`` pytree**; the step schedule arrives as trace-time flags
+(schedule.StepKind), so full/sparse branching costs nothing inside jit.
+
+Algorithm parity map (reference modules/attn.py):
+  step 0            -> full dense, store lse                (attn.py:112-120)
+  full+colsum steps -> dense_colsum_attn, build random+topk
+                       mask over static/video-group gates,
+                       store indices, cache = o - csp(...)  (attn.py:122-170)
+  full plain steps  -> dense, refresh cache w/ old indices  (attn.py:152-169)
+  sparse steps      -> out = cache + csp(...)               (attn.py:172-190)
+  first_n_dense     -> dense always                         (attn.py:107-109)
+
+TPU deltas: query groups are 128 (mbm, vs 192), selection is kv_block-
+granular, colsum scores arrive already block-summed from the kernel, and
+randomness uses an explicit PRNG key (the reference draws torch randint,
+attn.py:77).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AttnConfig
+from ..ops import attn_ref, indexing
+from ..ops.attn_ref import PAD_LSE
+from .. import kernels
+
+
+class AttnState(NamedTuple):
+    """Per-layer attention cache pytree (replaces AttnStorage,
+    reference util/storage/layer_storage.py:95-118)."""
+    out_cache: jnp.ndarray   # [B,H,S,D]
+    lse: jnp.ndarray         # [B,H,S] fp32, log2 domain
+    inds: jnp.ndarray        # [B,H,G,jmax] int32 kv-block ids
+    counts: jnp.ndarray      # [B,H,G] int32
+
+
+def init_attn_state(B: int, H: int, S: int, D: int, jmax: int,
+                    kv_block: int, dtype=jnp.bfloat16) -> AttnState:
+    G = S // 128
+    return AttnState(
+        out_cache=jnp.zeros((B, H, S, D), dtype),
+        lse=jnp.full((B, H, S), PAD_LSE, jnp.float32),
+        inds=jnp.zeros((B, H, G, jmax), jnp.int32),
+        counts=jnp.ones((B, H, G), jnp.int32),
+    )
+
+
+@dataclass(frozen=True)
+class SparseDiffAttn:
+    """Static per-model attention sparsity config + pure step methods."""
+    cfg: AttnConfig
+    seq_len: int                     # padded Sq == Sk
+    jmax: int                        # static max selected kv blocks per group
+    sel_blocks: int                  # top-k in kv blocks
+    static_mask: Optional[jnp.ndarray] = None        # bool [G, NB]
+    sparse_query_groups: Optional[jnp.ndarray] = None  # bool [G, 1]
+    use_kernels: bool = True
+    interpret: bool = False
+
+    @staticmethod
+    def build(cfg: AttnConfig, seq_len: int,
+              static_mask_tokens=None,
+              use_kernels: bool = True,
+              interpret: bool = False) -> "SparseDiffAttn":
+        """static_mask_tokens: optional bool [G, S] (voxel/1d-window/text
+        mask from ops.voxel.get_local_indices_with_text)."""
+        assert seq_len % cfg.mbm == 0, (seq_len, cfg.mbm)
+        assert seq_len % cfg.kv_block == 0
+        nb = seq_len // cfg.kv_block
+        mult_b = max(cfg.counts_multiple_of // cfg.kv_block, 1)
+        sel_blocks = int(round(cfg.top_keys * seq_len / cfg.counts_multiple_of)
+                         * cfg.counts_multiple_of) // cfg.kv_block
+        sel_blocks = max(min(sel_blocks, nb), 0)
+        static_mask = sparse_qg = None
+        if static_mask_tokens is not None:
+            sm = jnp.asarray(static_mask_tokens)
+            static_mask = indexing.blockify_mask(sm, cfg.kv_block)
+            # query groups whose static mask + topk would cover ~everything
+            # do dense-equivalent work anyway -> mark as non-sparse
+            # (reference attn.py:67)
+            n_static = static_mask.sum(-1) * cfg.kv_block
+            sparse_qg = ((n_static + sel_blocks * cfg.kv_block)
+                         < seq_len)[:, None]
+        # static cap on selected blocks: topk + random + static mask
+        cap = nb
+        if cfg.max_selected_frac < 1.0:
+            cap = int(nb * cfg.max_selected_frac)
+        jmax = min(cap, nb)
+        jmax = max(jmax, 1)
+        jmax = -(-jmax // mult_b) * mult_b
+        jmax = min(jmax, nb)
+        return SparseDiffAttn(cfg=cfg, seq_len=seq_len, jmax=jmax,
+                              sel_blocks=sel_blocks, static_mask=static_mask,
+                              sparse_query_groups=sparse_qg,
+                              use_kernels=use_kernels, interpret=interpret)
+
+    # ---------------------------------------------------------------- ops
+    def _dense(self, q, k, v):
+        if self.use_kernels:
+            return kernels.dense_attn(q, k, v, interpret=self.interpret)
+        return attn_ref.dense_attn_ref(q, k, v)
+
+    def _colsum(self, q, k, v, prev_lse):
+        if self.use_kernels:
+            return kernels.dense_colsum_attn(
+                q, k, v, prev_lse, score_block=self.cfg.kv_block,
+                interpret=self.interpret)
+        o, cs, lse = attn_ref.dense_colsum_attn_ref(q, k, v, prev_lse,
+                                                    self.cfg.mbm)
+        return o, indexing.blockify_scores(cs, self.cfg.kv_block), lse
+
+    def _csp(self, q, k, v, inds, counts):
+        if self.use_kernels:
+            return kernels.csp_attn(q, k, v, inds, counts, qg=self.cfg.mbm,
+                                    kv_block=self.cfg.kv_block,
+                                    interpret=self.interpret)
+        return attn_ref.csp_block_attn_ref(q, k, v, inds, counts,
+                                           self.cfg.mbm, self.cfg.kv_block)
+
+    def _select(self, colsums: jnp.ndarray, key: jax.Array
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Mask recompute (reference random_and_topk + mask_to_indices,
+        attn.py:76-84, 134-150) at kv-block granularity."""
+        mask = indexing.random_and_topk_mask(
+            colsums, self.sel_blocks, key,
+            sparse_query_groups=self.sparse_query_groups,
+            static_mask=self.static_mask,
+            random_frac=self.cfg.random_keys)
+        mult_b = max(self.cfg.counts_multiple_of // self.cfg.kv_block, 1)
+        inds, counts = indexing.mask_to_indices(mask, mult_b)
+        inds = inds[..., :self.jmax]
+        counts = jnp.clip(counts, 1, self.jmax)
+        return inds, counts
+
+    # -------------------------------------------------------------- steps
+    def dense_step(self, q, k, v):
+        o, _ = self._dense(q, k, v)
+        return o
+
+    def full_step_first(self, q, k, v, state: AttnState
+                        ) -> Tuple[jnp.ndarray, AttnState]:
+        o, lse = self._dense(q, k, v)
+        return o, state._replace(lse=lse)
+
+    def full_step_colsum(self, q, k, v, state: AttnState, key: jax.Array
+                         ) -> Tuple[jnp.ndarray, AttnState]:
+        o, cs, lse = self._colsum(q, k, v, state.lse)
+        inds, counts = self._select(cs, key)
+        o_sp = self._csp(q, k, v, inds, counts)
+        return o, AttnState(out_cache=(o - o_sp).astype(o.dtype), lse=lse,
+                            inds=inds, counts=counts)
+
+    def full_step_plain(self, q, k, v, state: AttnState
+                        ) -> Tuple[jnp.ndarray, AttnState]:
+        o, lse = self._dense(q, k, v)
+        o_sp = self._csp(q, k, v, state.inds, state.counts)
+        return o, state._replace(out_cache=(o - o_sp).astype(o.dtype),
+                                 lse=lse)
+
+    def sparse_step(self, q, k, v, state: AttnState
+                    ) -> Tuple[jnp.ndarray, AttnState]:
+        o_sp = self._csp(q, k, v, state.inds, state.counts)
+        return (state.out_cache + o_sp).astype(q.dtype), state
+
+    # ------------------------------------------------------------ frontend
+    def __call__(self, q, k, v, state: AttnState, *, step_index: int,
+                 is_full: bool, is_colsum: bool, layer_is_dense: bool,
+                 key: Optional[jax.Array] = None
+                 ) -> Tuple[jnp.ndarray, AttnState]:
+        """One attention call with trace-time step flags (the reference
+        resolves these via the LayerCounter singleton, attn.py:192-200)."""
+        if not self.cfg.is_enabled or layer_is_dense:
+            return self.dense_step(q, k, v), state
+        if is_full:
+            if step_index == 0:
+                return self.full_step_first(q, k, v, state)
+            if is_colsum:
+                assert key is not None
+                return self.full_step_colsum(q, k, v, state, key)
+            return self.full_step_plain(q, k, v, state)
+        return self.sparse_step(q, k, v, state)
+
+    def init_state(self, B: int, H: int, D: int,
+                   dtype=jnp.bfloat16) -> AttnState:
+        return init_attn_state(B, H, self.seq_len, D, self.jmax,
+                               self.cfg.kv_block, dtype)

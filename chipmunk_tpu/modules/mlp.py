@@ -1,0 +1,163 @@
+"""Sparse delta MLP module — functional TPU rebuild of the reference's
+``SparseDiffMlp`` (src/chipmunk/modules/mlp.py:11-123).
+
+Algorithm parity map (reference modules/mlp.py):
+  full steps   -> dense fc1/act/fc2; cache post-activations, output, and
+                  block-means of the pre-activations         (mlp.py:51-59)
+  sparse steps -> optionally recompute neuron indices from
+                  |fc1(block_mean(x)) - blockmean_mid_cache| (mlp.py:62-88),
+                  then the fused delta chain: recompute selected neurons,
+                  delta vs cache, out_cache += delta @ fc2   (mlp.py:104-120)
+
+TPU deltas: neuron selection is neuron_block-granular; selection uses exact
+per-row top-k + Bernoulli random keep with an explicit key (the reference's
+sampled-quantile + curand, csrc/indexed_io/topk_indices.cu); cache layout is
+token-major.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MlpConfig
+from ..ops import indexing, mlp_ref
+from ..ops.mlp_ref import block_mean
+from .. import kernels
+
+
+def _gelu_tanh(x):
+    return jax.nn.gelu(x, approximate=True)
+
+
+class MlpState(NamedTuple):
+    """Per-layer MLP cache pytree (replaces MlpStorage,
+    reference util/storage/layer_storage.py:5-93)."""
+    out_cache: jnp.ndarray   # [T, C]
+    act_cache: jnp.ndarray   # [T, N] post-activations
+    bm_mid: jnp.ndarray      # [T//mbm, N] block-mean pre-activation cache
+    inds: jnp.ndarray        # [M, jmax] int32 neuron-block ids
+    counts: jnp.ndarray      # [M] int32
+
+
+@dataclass(frozen=True)
+class SparseDiffMlp:
+    cfg: MlpConfig
+    n_tokens: int            # T (padded to bm)
+    d_model: int             # C
+    d_hidden: int            # N
+    jmax: int                # static max selected neuron blocks
+    sel_blocks: int          # top-k in neuron blocks
+    use_kernels: bool = True
+    interpret: bool = False
+
+    @staticmethod
+    def build(cfg: MlpConfig, n_tokens: int, d_model: int, d_hidden: int,
+              use_kernels: bool = True,
+              interpret: bool = False) -> "SparseDiffMlp":
+        assert n_tokens % cfg.bm == 0
+        assert d_hidden % cfg.neuron_block == 0
+        nb = d_hidden // cfg.neuron_block
+        keep = 1.0 - (1.0 - cfg.top_keys)  # = top_keys fraction kept
+        sel = int(round(cfg.top_keys * d_hidden / cfg.counts_multiple_of)
+                  * cfg.counts_multiple_of) // cfg.neuron_block
+        sel = max(min(sel, nb), 1)
+        cap = nb if cfg.max_selected_frac >= 1.0 else int(
+            nb * cfg.max_selected_frac)
+        mult_b = max(cfg.counts_multiple_of // cfg.neuron_block, 1)
+        jmax = min(max(cap, 1), nb)
+        jmax = min(-(-jmax // mult_b) * mult_b, nb)
+        return SparseDiffMlp(cfg=cfg, n_tokens=n_tokens, d_model=d_model,
+                             d_hidden=d_hidden, jmax=jmax, sel_blocks=sel,
+                             use_kernels=use_kernels, interpret=interpret)
+
+    # ---------------------------------------------------------------- steps
+    def dense(self, x, w1t, b1, w2, b2):
+        """x: [T, C]; w1t: [N, C]; w2: [N, C]."""
+        mid = x @ w1t.T + b1.astype(x.dtype)
+        return _gelu_tanh(mid.astype(jnp.float32)).astype(x.dtype) @ w2 \
+            + b2.astype(x.dtype)
+
+    def full_step(self, x, w1t, b1, w2, b2, state: MlpState
+                  ) -> Tuple[jnp.ndarray, MlpState]:
+        mid = x @ w1t.T + b1.astype(x.dtype)
+        pa = _gelu_tanh(mid.astype(jnp.float32)).astype(x.dtype)
+        out = pa @ w2 + b2.astype(x.dtype)
+        return out, state._replace(
+            out_cache=out,
+            act_cache=pa,
+            bm_mid=block_mean(mid[None], self.cfg.mbm)[0])
+
+    def _recompute_indices(self, x, w1t, b1, state: MlpState, key: jax.Array
+                           ) -> MlpState:
+        """Reference modules/mlp.py:69-88."""
+        mbm, bm = self.cfg.mbm, self.cfg.bm
+        bmx = block_mean(x[None], mbm)[0]                  # [Mb, C]
+        bmfc1 = bmx @ w1t.T + b1.astype(x.dtype)           # [Mb, N]
+        mdiff = jnp.abs((bmfc1 - state.bm_mid).astype(jnp.float32))
+        r = bm // mbm
+        Mb = mdiff.shape[0]
+        mdiff = mdiff.reshape(Mb // r, r, -1).sum(axis=1)  # [M, N]
+        scores = indexing.blockify_scores(mdiff, self.cfg.neuron_block)
+        k = self.sel_blocks
+        mask = indexing.topk_mask(scores, k)
+        if self.cfg.random_keys > 0:
+            mask = mask | jax.random.bernoulli(key, self.cfg.random_keys,
+                                               mask.shape)
+        mult_b = max(self.cfg.counts_multiple_of // self.cfg.neuron_block, 1)
+        inds, counts = indexing.mask_to_indices(mask, mult_b)
+        inds = inds[..., :self.jmax]
+        counts = jnp.clip(counts, 1, self.jmax)
+        # refresh bm_mid only at selected neurons (reference copy_indices,
+        # mlp.py:82-85) — token mask expanded from the block mask
+        sel_tok = jnp.repeat(jnp.repeat(mask, self.cfg.neuron_block, -1),
+                             r, axis=0)                    # [Mb, N]
+        bm_mid = indexing.copy_indices(bmfc1, state.bm_mid, sel_tok)
+        return state._replace(inds=inds, counts=counts, bm_mid=bm_mid)
+
+    def sparse_step(self, x, w1t, b1, w2, state: MlpState, *,
+                    recompute: bool, key: Optional[jax.Array] = None
+                    ) -> Tuple[jnp.ndarray, MlpState]:
+        if recompute:
+            assert key is not None
+            state = self._recompute_indices(x, w1t, b1, state, key)
+        if self.use_kernels:
+            new_out, new_act = kernels.csp_mlp(
+                x, w1t, b1, w2, state.act_cache, state.out_cache,
+                state.inds, state.counts, bn=self.cfg.neuron_block,
+                interpret=self.interpret)
+        else:
+            bn = self.cfg.neuron_block
+            tinds = (state.inds[..., None] * bn
+                     + jnp.arange(bn)).reshape(state.inds.shape[0], -1)
+            new_out, new_act = mlp_ref.csp_mlp_ref(
+                x, w1t.T, b1, w2, tinds.astype(jnp.int32), state.counts * bn,
+                state.act_cache, state.out_cache, bm=self.cfg.bm,
+                act=_gelu_tanh)
+        return new_out, state._replace(out_cache=new_out, act_cache=new_act)
+
+    # ------------------------------------------------------------ frontend
+    def __call__(self, x, w1t, b1, w2, b2, state: MlpState, *,
+                 is_full: bool, recompute_mask: bool, layer_is_dense: bool,
+                 key: Optional[jax.Array] = None
+                 ) -> Tuple[jnp.ndarray, MlpState]:
+        if not self.cfg.is_enabled or layer_is_dense:
+            return self.dense(x, w1t, b1, w2, b2), state
+        if is_full:
+            return self.full_step(x, w1t, b1, w2, b2, state)
+        return self.sparse_step(x, w1t, b1, w2, state,
+                                recompute=recompute_mask, key=key)
+
+    def init_state(self, dtype=jnp.bfloat16) -> MlpState:
+        T, C, N = self.n_tokens, self.d_model, self.d_hidden
+        M = T // self.cfg.bm
+        Mb = T // self.cfg.mbm
+        return MlpState(
+            out_cache=jnp.zeros((T, C), dtype),
+            act_cache=jnp.zeros((T, N), dtype),
+            bm_mid=jnp.zeros((Mb, N), dtype),
+            inds=jnp.zeros((M, self.jmax), jnp.int32),
+            counts=jnp.ones((M,), jnp.int32),
+        )

@@ -37,11 +37,12 @@ def test_colsum_attn_kernel():
     q, k, v = rand_qkv(s=256)
     _, prev_lse = ops.dense_attn_ref(q, k, v)
     o, cs, lse = dense_colsum_attn(q, k, v, prev_lse, bq=128, bk=128,
-                                   interpret=True)
+                                   score_block=32, interpret=True)
     o_ref, cs_ref, lse_ref = ops.dense_colsum_attn_ref(q, k, v, prev_lse, 128)
     np.testing.assert_allclose(o, o_ref, atol=2e-3, rtol=2e-3)
     np.testing.assert_allclose(lse, lse_ref, atol=2e-3, rtol=2e-3)
-    np.testing.assert_allclose(cs, cs_ref, atol=1e-2, rtol=1e-3)
+    cs_blk_ref = ops.blockify_scores(cs_ref, 32)
+    np.testing.assert_allclose(cs, cs_blk_ref, atol=1e-2, rtol=1e-3)
 
 
 @pytest.mark.parametrize('kv_block', [128, 32])

@@ -1,0 +1,147 @@
+"""Sparse module behavior over multi-step schedules (eager backend on CPU).
+
+Validates the delta-cache algebra end to end: when inputs don't change
+between steps, sparse steps reproduce the full-step output exactly
+(reference invariant from modules/attn.py:164-190 and mlp.py:51-120)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chipmunk_tpu.config import AttnConfig, MlpConfig
+from chipmunk_tpu.modules import SparseDiffAttn, SparseDiffMlp
+
+KEY = jax.random.PRNGKey(0)
+
+
+def make_attn(s=512, top_keys=0.4, kv_block=32):
+    cfg = AttnConfig(top_keys=top_keys, kv_block=kv_block, random_keys=0.0,
+                     counts_multiple_of=kv_block)
+    return SparseDiffAttn.build(cfg, s, use_kernels=False)
+
+
+def test_attn_full_then_sparse_same_inputs():
+    mod = make_attn()
+    B, H, S, D = 1, 2, 512, 64
+    ks = jax.random.split(KEY, 3)
+    q, k, v = (jax.random.normal(kk, (B, H, S, D)) for kk in ks)
+    st = mod.init_state(B, H, D, jnp.float32)
+
+    o0, st = mod(q, k, v, st, step_index=0, is_full=True, is_colsum=False,
+                 layer_is_dense=False)
+    # step 1: colsum full step establishes indices + cache
+    o1, st = mod(q, k, v, st, step_index=1, is_full=True, is_colsum=True,
+                 layer_is_dense=False, key=jax.random.PRNGKey(1))
+    # sparse step with identical inputs must reproduce the dense output
+    o2, st = mod(q, k, v, st, step_index=2, is_full=False, is_colsum=False,
+                 layer_is_dense=False)
+    np.testing.assert_allclose(o2, o1, atol=1e-4, rtol=1e-4)
+    # full plain step re-caches; sparse again still matches
+    o3, st = mod(q, k, v, st, step_index=3, is_full=True, is_colsum=False,
+                 layer_is_dense=False)
+    o4, st = mod(q, k, v, st, step_index=4, is_full=False, is_colsum=False,
+                 layer_is_dense=False)
+    np.testing.assert_allclose(o4, o3, atol=1e-4, rtol=1e-4)
+
+
+def test_attn_sparse_tracks_slowly_changing_inputs():
+    """With a small perturbation, sparse output should stay close to true
+    dense attention — the core approximation claim (README.md:97-103)."""
+    mod = make_attn(top_keys=0.6)
+    B, H, S, D = 1, 2, 512, 64
+    ks = jax.random.split(KEY, 4)
+    q, k, v = (jax.random.normal(kk, (B, H, S, D)) for kk in ks[:3])
+    st = mod.init_state(B, H, D, jnp.float32)
+    _, st = mod(q, k, v, st, step_index=0, is_full=True, is_colsum=False,
+                layer_is_dense=False)
+    _, st = mod(q, k, v, st, step_index=1, is_full=True, is_colsum=True,
+                layer_is_dense=False, key=jax.random.PRNGKey(1))
+    dq = 0.03 * jax.random.normal(ks[3], q.shape)
+    o_sparse, st = mod(q + dq, k, v, st, step_index=2, is_full=False,
+                       is_colsum=False, layer_is_dense=False)
+    from chipmunk_tpu.ops import dense_attn_ref
+    o_true, _ = dense_attn_ref(q + dq, k, v)
+    # error of sparse approx should be much smaller than the step-to-step
+    # output change it is approximating
+    change = np.abs(np.asarray(o_true) - np.asarray(
+        dense_attn_ref(q, k, v)[0])).mean()
+    err = np.abs(np.asarray(o_sparse) - np.asarray(o_true)).mean()
+    assert err < change, (err, change)
+
+
+def test_attn_dense_layer_passthrough():
+    mod = make_attn()
+    B, H, S, D = 1, 2, 512, 64
+    ks = jax.random.split(KEY, 3)
+    q, k, v = (jax.random.normal(kk, (B, H, S, D)) for kk in ks)
+    st = mod.init_state(B, H, D, jnp.float32)
+    o, st2 = mod(q, k, v, st, step_index=5, is_full=False, is_colsum=False,
+                 layer_is_dense=True)
+    from chipmunk_tpu.ops import dense_attn_ref
+    np.testing.assert_allclose(o, dense_attn_ref(q, k, v)[0],
+                               atol=1e-4, rtol=1e-4)
+    assert st2 is st  # untouched
+
+
+def make_mlp(t=256, c=64, n=512, top_keys=0.5, bn=32):
+    cfg = MlpConfig(top_keys=top_keys, neuron_block=bn, random_keys=0.0,
+                    counts_multiple_of=bn)
+    return SparseDiffMlp.build(cfg, t, c, n, use_kernels=False)
+
+
+def mlp_weights(c=64, n=512):
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    w1t = jax.random.normal(ks[0], (n, c)) * 0.1
+    b1 = jax.random.normal(ks[1], (n,)) * 0.1
+    w2 = jax.random.normal(ks[2], (n, c)) * 0.1
+    b2 = jax.random.normal(ks[3], (c,)) * 0.1
+    return w1t, b1, w2, b2
+
+
+def test_mlp_full_then_sparse_same_inputs():
+    mod = make_mlp()
+    w1t, b1, w2, b2 = mlp_weights()
+    x = jax.random.normal(jax.random.PRNGKey(3), (256, 64)) * 0.5
+    st = mod.init_state(jnp.float32)
+    o_full, st = mod(x, w1t, b1, w2, b2, st, is_full=True,
+                     recompute_mask=False, layer_is_dense=False)
+    # sparse step, same x: deltas are zero -> output unchanged
+    o_sp, st = mod(x, w1t, b1, w2, None, st, is_full=False,
+                   recompute_mask=True, layer_is_dense=False,
+                   key=jax.random.PRNGKey(4))
+    np.testing.assert_allclose(o_sp, o_full, atol=1e-4, rtol=1e-4)
+
+
+def test_mlp_sparse_tracks_dense_with_full_selection():
+    """With all neuron blocks selected, a sparse step == dense recompute
+    (up to fc2-bias handling: bias lives in the cache)."""
+    mod = make_mlp(top_keys=1.0)
+    w1t, b1, w2, b2 = mlp_weights()
+    ks = jax.random.split(jax.random.PRNGKey(5), 2)
+    x0 = jax.random.normal(ks[0], (256, 64)) * 0.5
+    x1 = jax.random.normal(ks[1], (256, 64)) * 0.5
+    st = mod.init_state(jnp.float32)
+    _, st = mod(x0, w1t, b1, w2, b2, st, is_full=True, recompute_mask=False,
+                layer_is_dense=False)
+    o_sp, st = mod(x1, w1t, b1, w2, None, st, is_full=False,
+                   recompute_mask=True, layer_is_dense=False,
+                   key=jax.random.PRNGKey(6))
+    o_dense = mod.dense(x1, w1t, b1, w2, b2)
+    np.testing.assert_allclose(o_sp, o_dense, atol=1e-3, rtol=1e-3)
+
+
+def test_mlp_index_recompute_updates_bm_mid_only_at_selected():
+    mod = make_mlp(top_keys=0.25)
+    w1t, b1, w2, b2 = mlp_weights()
+    ks = jax.random.split(jax.random.PRNGKey(8), 2)
+    x0 = jax.random.normal(ks[0], (256, 64)) * 0.5
+    x1 = x0 + 0.2 * jax.random.normal(ks[1], (256, 64))
+    st = mod.init_state(jnp.float32)
+    _, st = mod(x0, w1t, b1, w2, b2, st, is_full=True, recompute_mask=False,
+                layer_is_dense=False)
+    bm_mid_before = st.bm_mid
+    _, st = mod(x1, w1t, b1, w2, None, st, is_full=False,
+                recompute_mask=True, layer_is_dense=False,
+                key=jax.random.PRNGKey(9))
+    changed = np.asarray(st.bm_mid != bm_mid_before)
+    # some neurons refreshed, some kept
+    assert changed.any() and not changed.all()
