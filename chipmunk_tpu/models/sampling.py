@@ -1,0 +1,138 @@
+"""Denoising loop with chipmunk step scheduling + step caching.
+
+Rebuilds the reference's sampling flow (examples/flux/src/flux/sampling.py:
+247-336): patchify the latent + RoPE once, run the Euler loop over
+timesteps, unpatchify.  Step caching (reference hunyuan models.py:733-741 /
+config step_caching) is a host-level decision here: on skipped steps the
+model is simply not invoked and the previous prediction is reused — no
+counters to advance because state is explicit.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ChipmunkConfig
+from ..schedule import step_plan
+from ..ops.patch import patch_order, inverse_patch_order
+from .flux import (FluxModelConfig, FluxSparse, FluxState, FluxStep,
+                   flux_forward, flux_rope_ids)
+from .layers import build_rope
+
+
+def flux_time_shift(mu: float, sigma: float, t: jnp.ndarray) -> jnp.ndarray:
+    return jnp.exp(mu) / (jnp.exp(mu) + (1 / t - 1) ** sigma)
+
+
+def get_schedule(num_steps: int, image_seq_len: int,
+                 base_shift: float = 0.5, max_shift: float = 1.15,
+                 shift: bool = True) -> jnp.ndarray:
+    """Reference sampling.get_schedule: linear in sigma-space with
+    resolution-dependent time shift."""
+    timesteps = jnp.linspace(1, 0, num_steps + 1)
+    if shift:
+        m = (max_shift - base_shift) / (4096 - 256)
+        b = base_shift - m * 256
+        mu = m * image_seq_len + b
+        timesteps = flux_time_shift(mu, 1.0, timesteps)
+    return timesteps
+
+
+@dataclass
+class FluxSampler:
+    """Bundles model config + sparsity context + jitted per-step-kind fns."""
+    cfg: FluxModelConfig
+    ck: ChipmunkConfig
+    sp: FluxSparse
+    h_img: int                     # latent patch grid height
+    w_img: int
+    use_patchify: bool = True
+
+    def __post_init__(self):
+        self._step_fns: Dict = {}
+
+    # ------------------------------------------------------------ plumbing
+    def rope(self, B: int):
+        ids = flux_rope_ids(B, self.h_img, self.w_img, self.cfg.txt_len)
+        if self.use_patchify:
+            import numpy as np
+            p = patch_order(self.h_img, self.w_img,
+                            self.ck.patchify.chunk_size_1,
+                            self.ck.patchify.chunk_size_2)
+            perm = np.concatenate(
+                [np.arange(self.cfg.txt_len),
+                 self.cfg.txt_len + p])
+            ids = ids[:, jnp.asarray(perm)]
+        return build_rope(ids, self.cfg.axes_dim, self.cfg.theta)
+
+    def patchify_img(self, img: jnp.ndarray) -> jnp.ndarray:
+        if not self.use_patchify:
+            return img
+        p = jnp.asarray(patch_order(self.h_img, self.w_img,
+                                    self.ck.patchify.chunk_size_1,
+                                    self.ck.patchify.chunk_size_2))
+        return img[:, p]
+
+    def unpatchify_img(self, img: jnp.ndarray) -> jnp.ndarray:
+        if not self.use_patchify:
+            return img
+        inv = jnp.asarray(inverse_patch_order(self.h_img, self.w_img,
+                                              self.ck.patchify.chunk_size_1,
+                                              self.ck.patchify.chunk_size_2))
+        return img[:, inv]
+
+    def _step_fn(self, step: FluxStep):
+        """One jitted model evaluation per distinct step kind (trace-time
+        flags; ~4 distinct compilations across the whole schedule)."""
+        sig = (step.full_attn, step.full_mlp, step.colsum,
+               step.recompute_mlp_mask, step.index if step.index < 2 else 2)
+        if sig not in self._step_fns:
+            def fn(params, img, txt, t, y, pe, state, guidance, key,
+                   _step=step):
+                return flux_forward(params, self.cfg, self.sp, img, txt,
+                                    t, y, pe, state, _step,
+                                    guidance=guidance, key=key)
+            self._step_fns[sig] = jax.jit(fn, donate_argnums=(6,))
+        return self._step_fns[sig]
+
+    # ------------------------------------------------------------ denoise
+    def denoise(self, params: Dict, img: jnp.ndarray, txt: jnp.ndarray,
+                y: jnp.ndarray, timesteps: jnp.ndarray,
+                guidance: float = 4.0,
+                key: Optional[jax.Array] = None,
+                callback: Optional[Callable] = None) -> jnp.ndarray:
+        """Euler flow-matching loop (reference sampling.py:277-292) with
+        chipmunk scheduling + step caching.  img: [B, S_img, C_in]."""
+        key = key or jax.random.PRNGKey(0)
+        B = img.shape[0]
+        img = self.patchify_img(img)
+        pe = self.rope(B)
+        state = self.sp.init_state(self.cfg, B)
+        plan = step_plan(self.ck)
+        g = jnp.full((B,), guidance, jnp.float32) \
+            if self.cfg.guidance_embed else None
+
+        pred = None
+        n = min(len(plan), timesteps.shape[0] - 1)
+        for i in range(n):
+            kind = plan[i]
+            t_curr, t_prev = timesteps[i], timesteps[i + 1]
+            if kind.skip and pred is not None:
+                # step caching: reuse last prediction
+                # (reference step_cache, hunyuan models.py:733-741)
+                img = img + (t_prev - t_curr) * pred
+                if callback:
+                    callback(i, skipped=True)
+                continue
+            t_vec = jnp.full((B,), t_curr, jnp.float32)
+            fn = self._step_fn(FluxStep.of(kind, i))
+            pred, state = fn(params, img, txt, t_vec, y, pe, state, g,
+                             jax.random.fold_in(key, i))
+            img = img + (t_prev - t_curr) * pred
+            if callback:
+                callback(i, skipped=False)
+        return self.unpatchify_img(img)

@@ -130,12 +130,19 @@ class SparseDiffAttn:
     def _select(self, colsums: jnp.ndarray, key: jax.Array
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Mask recompute (reference random_and_topk + mask_to_indices,
-        attn.py:76-84, 134-150) at kv-block granularity."""
-        mask = indexing.random_and_topk_mask(
-            colsums, self.sel_blocks, key,
-            sparse_query_groups=self.sparse_query_groups,
-            static_mask=self.static_mask,
-            random_frac=self.cfg.random_keys)
+        attn.py:76-84, 134-150) at kv-block granularity.
+
+        should_compress_indices=False selects plain top-k (the reference's
+        uncompressed-indices path, attn.py:140-150, used by FLUX);
+        True adds the random + static-mask union (attn.py:76-84)."""
+        if not self.cfg.should_compress_indices:
+            mask = indexing.topk_mask(colsums, self.sel_blocks)
+        else:
+            mask = indexing.random_and_topk_mask(
+                colsums, self.sel_blocks, key,
+                sparse_query_groups=self.sparse_query_groups,
+                static_mask=self.static_mask,
+                random_frac=self.cfg.random_keys)
         mult_b = max(self.cfg.counts_multiple_of // self.cfg.kv_block, 1)
         inds, counts = indexing.mask_to_indices(mask, mult_b)
         inds = inds[..., :self.jmax]
