@@ -1,0 +1,145 @@
+"""Chipmunk-TPU headline benchmark.
+
+Measures the end-to-end denoise-loop speedup of the chipmunk sparsity
+pipeline vs the dense baseline on a FLUX-core model (real FLUX layer shapes
+— hidden 3072, 24 heads, 1280x768 latents -> 4352-token sequence — at
+reduced depth so it fits a single v5e chip; per-layer work is identical to
+full FLUX so the ratio is representative).  Dense baseline = the same model
+with sparsity disabled, attention via our Pallas flash kernel and MLPs via
+XLA (the analogue of the reference's torch.compile+FA3 baseline).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is (our speedup) / (reference FLUX e2e speedup 1.63x with step
+caching, README.md:95).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def run_e2e():
+    import jax
+    import jax.numpy as jnp
+    from chipmunk_tpu.config import config_from_dict
+    from chipmunk_tpu.models import (FluxModelConfig, init_flux_params,
+                                     FluxSparse)
+    from chipmunk_tpu.models.sampling import FluxSampler, get_schedule
+
+    on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
+    log(f"devices: {jax.devices()} use_kernels={on_tpu}")
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    model = FluxModelConfig(depth=4, depth_single_blocks=8,
+                            guidance_embed=True, dtype=dtype)
+    h_img, w_img = 48, 80          # 1280x768 -> 3840 img tokens
+    seq = model.txt_len + h_img * w_img
+    steps = 50
+
+    # FLUX default operating point (reference examples/flux/chipmunk-config
+    # .yml) + step caching; first_n_dense scaled to the reduced depth
+    sparse_ck = config_from_dict({
+        'steps': steps,
+        'attn': {'top_keys': 0.165, 'full_step_every': 10,
+                 'first_n_dense_layers': 1, 'recompute_mask': False,
+                 'should_compress_indices': False},
+        'mlp': {'top_keys': 0.3, 'full_step_every': 10,
+                'block_mask_cache': 2, 'first_n_dense_layers': 1},
+        'step_caching': {'is_enabled': True},
+    })
+    dense_ck = config_from_dict({
+        'steps': steps,
+        'attn': {'is_enabled': False},
+        'mlp': {'is_enabled': False},
+        'step_caching': {'is_enabled': False},
+    })
+
+    params = init_flux_params(jax.random.PRNGKey(0), model)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    img = jax.random.normal(ks[0], (1, h_img * w_img, 64), dtype)
+    txt = jax.random.normal(ks[1], (1, model.txt_len, 4096), dtype)
+    y = jax.random.normal(ks[2], (1, 768), dtype)
+    ts = get_schedule(steps, h_img * w_img)
+
+    def run(ck, tag):
+        sp = FluxSparse.build(ck, model, seq, use_kernels=on_tpu)
+        sampler = FluxSampler(cfg=model, ck=ck, sp=sp,
+                              h_img=h_img, w_img=w_img)
+        t0 = time.perf_counter()
+        out = sampler.denoise(params, img, txt, y, ts)
+        jax.block_until_ready(out)
+        log(f"{tag}: warmup(+compile) {time.perf_counter()-t0:.1f}s")
+        best = float('inf')
+        for trial in range(3):
+            t0 = time.perf_counter()
+            out = sampler.denoise(params, img, txt, y, ts)
+            jax.block_until_ready(out)
+            dt = time.perf_counter() - t0
+            log(f"{tag}: trial {trial}: {dt:.3f}s")
+            best = min(best, dt)
+        return best, out
+
+    t_dense, _ = run(dense_ck, "dense")
+    t_sparse, _ = run(sparse_ck, "sparse")
+    speedup = t_dense / t_sparse
+    log(f"dense {t_dense:.3f}s sparse {t_sparse:.3f}s -> {speedup:.3f}x")
+    return {
+        "metric": "flux_core_e2e_speedup_sparse_vs_dense",
+        "value": round(speedup, 3),
+        "unit": "x",
+        "vs_baseline": round(speedup / 1.63, 3),
+        "detail": {
+            "dense_s": round(t_dense, 3),
+            "sparse_s": round(t_sparse, 3),
+            "model": "FLUX-core 4+8 blocks, 1280x768, 50 steps, "
+                     "attn top_keys=0.165, mlp top_keys=0.3, step caching",
+            "reference_baseline": "FLUX.1-dev e2e 1.63x (README.md:95)",
+        },
+    }
+
+
+def run_attn_layer_fallback():
+    """Fallback: column-sparse attention layer speedup vs dense flash."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from chipmunk_tpu.kernels import dense_attn, csp_attn
+    from chipmunk_tpu import ops
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), 'scripts'))
+    from bench_util import bench_loop
+
+    B, H, S, D = 1, 24, 4608, 128
+    dt = jnp.bfloat16
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    q, k, v = (jax.random.normal(kk, (B, H, S, D), dt) for kk in ks[:3])
+    G, NB = S // 128, S // 128
+    keep = 6
+    mask = ops.topk_mask(jax.random.uniform(ks[3], (B, H, G, NB)), keep)
+    inds, counts = ops.mask_to_indices(mask, multiple_of=1)
+    inds = inds[..., :keep]
+    t_d = bench_loop(lambda x: dense_attn(x, k, v)[0], q, iters=16)
+    t_s = bench_loop(lambda x: csp_attn(x, k, v, inds, counts), q, iters=16)
+    sp = t_d / t_s
+    return {
+        "metric": "csp_attn_layer_speedup_vs_dense_flash",
+        "value": round(sp, 3),
+        "unit": "x",
+        "vs_baseline": round(sp / 9.3, 3),
+    }
+
+
+if __name__ == '__main__':
+    try:
+        result = run_e2e()
+    except Exception as e:
+        log(f"e2e bench failed ({type(e).__name__}: {e}); "
+            f"falling back to attention layer bench")
+        result = run_attn_layer_fallback()
+    print(json.dumps(result))

@@ -1,0 +1,84 @@
+"""Distributed communication for head-parallel (Ulysses) attention.
+
+TPU-native equivalent of the reference's NCCL all-to-all layer
+(examples/hunyuan/hyvideo/modules/head_parallel.py:42-115): the same
+collect_tokens / collect_heads semantics, but as `jax.lax.all_to_all`
+inside shard_map over a named mesh axis — the collective rides ICI and XLA
+schedules/overlaps it; there is no process-group state to manage
+(reference head_parallel.py:5-18).
+
+Layout contract (matches the reference):
+  * ``collect_tokens``: each device holds a token shard of the sequence
+    with ALL heads -> after, each device holds ALL tokens for its head
+    shard.  [B, H, S_local, D] -> [B, H_local, S, D].
+  * ``collect_heads``: the inverse, for attention outputs.
+
+Sparsity state (indices, out_cache, lse) is per-head and therefore stays
+fully local to each head shard — exactly the reference's invariant
+(SURVEY.md §3.4: "sparsity state is per-rank, per-local-head").
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def make_mesh(axis_sizes: dict, devices=None) -> Mesh:
+    """mesh from {'axis': size}; devices default to all."""
+    import numpy as np
+    devices = devices if devices is not None else jax.devices()
+    names = tuple(axis_sizes)
+    shape = tuple(axis_sizes[n] for n in names)
+    n = int(np.prod(shape))
+    return Mesh(np.asarray(devices[:n]).reshape(shape), names)
+
+
+def collect_tokens(x: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """Inside shard_map: [B, H, S_local, D] (all heads, token shard) ->
+    [B, H_local, S, D] (head shard, full sequence).
+    Reference head_parallel.all_to_all_collect_tokens:42-87."""
+    return jax.lax.all_to_all(x, axis, split_axis=1, concat_axis=2,
+                              tiled=True)
+
+
+def collect_heads(x: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """Inside shard_map: [B, H_local, S, D] -> [B, H, S_local, D].
+    Reference head_parallel.all_to_all_collect_heads:89-115."""
+    return jax.lax.all_to_all(x, axis, split_axis=2, concat_axis=1,
+                              tiled=True)
+
+
+def ulysses_attention(mesh: Mesh, axis: str,
+                      attn_fn: Callable[..., Tuple],
+                      q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                      state, *attn_args, **attn_kwargs):
+    """Run ``attn_fn(q, k, v, state, ...) -> (o, state')`` head-parallel.
+
+    q/k/v arrive sequence-sharded over ``axis`` ([B, H, S, D] global);
+    state is head-sharded.  Inside: a2a to head shards, local (sparse)
+    attention over the full sequence, a2a back.  This is the chipmunk-aware
+    multi-device path (reference attenion.py:229-292).
+    """
+    qspec = P(None, None, axis, None)
+    sspec = jax.tree_util.tree_map(lambda _: P(None, axis), state)
+
+    # state leaves have different ranks; head axis is axis 1 for all
+    def leaf_spec(x):
+        return P(*([None, axis] + [None] * (x.ndim - 2)))
+
+    sspec = jax.tree_util.tree_map(leaf_spec, state)
+
+    def inner(q, k, v, st):
+        q = collect_tokens(q, axis)
+        k = collect_tokens(k, axis)
+        v = collect_tokens(v, axis)
+        o, st2 = attn_fn(q, k, v, st, *attn_args, **attn_kwargs)
+        return collect_heads(o, axis), st2
+
+    return jax.shard_map(inner, mesh=mesh,
+                         in_specs=(qspec, qspec, qspec, sspec),
+                         out_specs=(qspec, sspec),
+                         check_vma=False)(q, k, v, state)
