@@ -24,6 +24,17 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _enable_compile_cache():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:
+        log(f"compile cache unavailable: {e}")
+
+
 def run_e2e():
     import jax
     import jax.numpy as jnp
@@ -136,6 +147,7 @@ def run_attn_layer_fallback():
 
 
 if __name__ == '__main__':
+    _enable_compile_cache()
     try:
         result = run_e2e()
     except Exception as e:

@@ -49,6 +49,9 @@ class FluxModelConfig:
     qkv_bias: bool = True
     guidance_embed: bool = True
     txt_len: int = 512
+    # sequence order: FLUX concatenates [txt, img] (layers.py:187-196);
+    # HunyuanVideo concatenates [img, txt] (hyvideo models.py attention)
+    txt_first: bool = True
     dtype: Any = jnp.bfloat16
 
     @property
@@ -155,10 +158,12 @@ class FluxSparse:
 
     @staticmethod
     def build(ck: ChipmunkConfig, model: FluxModelConfig, seq_len: int,
+              static_mask_tokens=None,
               use_kernels: bool = True, interpret: bool = False
               ) -> "FluxSparse":
         img_len = seq_len - model.txt_len
         attn_d = SparseDiffAttn.build(ck.attn, seq_len,
+                                      static_mask_tokens=static_mask_tokens,
                                       use_kernels=use_kernels,
                                       interpret=interpret)
         mlp_d = SparseDiffMlp.build(ck.mlp, img_len, model.hidden_size,
@@ -309,16 +314,25 @@ def flux_forward(params: Dict, cfg: FluxModelConfig, sp: FluxSparse,
         ik = rmsnorm(ik, p['img_knorm'])
         tq = rmsnorm(tq, p['txt_qnorm'])
         tk = rmsnorm(tk, p['txt_knorm'])
-        q = jnp.concatenate([tq, iq], axis=2)
-        k = jnp.concatenate([tk, ik], axis=2)
-        v = jnp.concatenate([tv, iv], axis=2)
+        if cfg.txt_first:
+            q = jnp.concatenate([tq, iq], axis=2)
+            k = jnp.concatenate([tk, ik], axis=2)
+            v = jnp.concatenate([tv, iv], axis=2)
+        else:
+            # rope applies to img positions only in hunyuan (txt has no pe)
+            q = jnp.concatenate([iq, tq], axis=2)
+            k = jnp.concatenate([ik, tk], axis=2)
+            v = jnp.concatenate([iv, tv], axis=2)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
         attn_dense = idx < sp.n_dense_attn_double
         o, ast2 = _attn_call(sp.attn_d, q, k, v, ast, step, attn_dense, lkey)
         o = _merge_heads(o)
-        txt_o, img_o = o[:, :cfg.txt_len], o[:, cfg.txt_len:]
+        if cfg.txt_first:
+            txt_o, img_o = o[:, :cfg.txt_len], o[:, cfg.txt_len:]
+        else:
+            img_o, txt_o = o[:, :-cfg.txt_len], o[:, -cfg.txt_len:]
 
         img = img + im1[2] * linear(p['img_proj'], img_o)
         txt = txt + tm1[2] * linear(p['txt_proj'], txt_o)
@@ -344,7 +358,10 @@ def flux_forward(params: Dict, cfg: FluxModelConfig, sp: FluxSparse,
         (params['double'], state.double_attn, state.double_mlp, idx_d))
 
     # ---------------------------------------------------- single blocks
-    x = jnp.concatenate([txt, img], axis=1)
+    if cfg.txt_first:
+        x = jnp.concatenate([txt, img], axis=1)
+    else:
+        x = jnp.concatenate([img, txt], axis=1)
 
     def single_body(carry, xs):
         x = carry
@@ -377,7 +394,7 @@ def flux_forward(params: Dict, cfg: FluxModelConfig, sp: FluxSparse,
         single_body, x,
         (params['single'], state.single_attn, state.single_mlp, idx_s))
 
-    img = x[:, cfg.txt_len:]
+    img = x[:, cfg.txt_len:] if cfg.txt_first else x[:, :-cfg.txt_len]
 
     # ------------------------------------------------------- final layer
     mod_out = linear(params['final_mod'], jax.nn.silu(vec))

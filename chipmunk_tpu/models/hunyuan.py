@@ -1,0 +1,245 @@
+"""HunyuanVideo-architecture video DiT with chipmunk sparsity.
+
+Re-implements the model family of the reference's vendored HunyuanVideo repo
+(examples/hunyuan/hyvideo/modules/models.py) TPU-first.  The transformer
+core is the same MMDiT double/single-stream structure as FLUX (the reference
+docstring itself cites SD3/Flux, models.py:41-44), so the block loops are
+shared with ``flux_forward`` (txt_first=False: HunyuanVideo concatenates
+[img, txt]); this module adds the video-specific shell:
+
+  * 3D patch-embed (1x2x2-to-2x4x4 conv == reshape + linear for
+    stride == kernel), 3-axis RoPE over the (t, h, w) latent grid,
+  * voxel token reordering so each 128-token group is a spatial voxel
+    (reference models.py:675-702 voxel_in/voxel_out; ops/voxel.py),
+  * the static local-attention mask built once per generation
+    (reference models.py:743-752 initialize_static_mask),
+  * text token refiner (individual-token-refiner, 2 self-attn blocks),
+  * step caching at the model-invocation level (models.py:733-741).
+
+Default chipmunk operating point (reference examples/hunyuan/
+chipmunk-config.yml): attention-only sparsity, top_keys=0.05,
+random_keys=0.01, full_step_schedule={0,1,10,40}, 25-step skip schedule.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ChipmunkConfig
+from ..ops.voxel import (voxel_order, inverse_voxel_order,
+                         get_local_indices_with_text)
+from .flux import (FluxModelConfig, FluxSparse, FluxState, FluxStep,
+                   flux_forward, init_flux_params)
+from .layers import (build_rope, init_linear, init_mlp_embedder, linear,
+                     mlp_embedder, layernorm, timestep_embedding)
+
+
+@dataclass(frozen=True)
+class HunyuanModelConfig:
+    """HunyuanVideo-T2V 13B shape (reference hyvideo/config.py)."""
+    # latent video shape (after VAE, before patch embed)
+    latent_t: int = 33
+    latent_h: int = 90
+    latent_w: int = 160
+    in_channels: int = 16
+    patch_size: Tuple[int, int, int] = (1, 2, 2)
+    hidden_size: int = 3072
+    num_heads: int = 24
+    mlp_ratio: float = 4.0
+    depth_double: int = 20
+    depth_single: int = 40
+    axes_dim: Tuple[int, ...] = (16, 56, 56)
+    theta: int = 256
+    text_dim: int = 4096
+    txt_len: int = 256
+    vec_in_dim: int = 768
+    guidance_embed: bool = True
+    voxel_shape: Tuple[int, int, int] = (4, 4, 8)   # 128-token voxels
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def grid(self) -> Tuple[int, int, int]:
+        pt, ph, pw = self.patch_size
+        return (self.latent_t // pt, self.latent_h // ph,
+                self.latent_w // pw)
+
+    @property
+    def img_len(self) -> int:
+        t, h, w = self.grid
+        return t * h * w
+
+    @property
+    def seq_len(self) -> int:
+        return self.img_len + self.txt_len
+
+    def core(self) -> FluxModelConfig:
+        pt, ph, pw = self.patch_size
+        return FluxModelConfig(
+            in_channels=self.in_channels * pt * ph * pw,
+            vec_in_dim=self.vec_in_dim, context_in_dim=self.hidden_size,
+            hidden_size=self.hidden_size, num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio, depth=self.depth_double,
+            depth_single_blocks=self.depth_single, axes_dim=self.axes_dim,
+            theta=self.theta, qkv_bias=True,
+            guidance_embed=self.guidance_embed, txt_len=self.txt_len,
+            txt_first=False, dtype=self.dtype)
+
+
+def init_hunyuan_params(key: jax.Array, cfg: HunyuanModelConfig) -> Dict:
+    core = cfg.core()
+    params = init_flux_params(key, core)
+    h, dt = cfg.hidden_size, cfg.dtype
+    ks = iter(jax.random.split(jax.random.fold_in(key, 77), 12))
+    # text refiner: input proj + 2 blocks of (attn + mlp) with time gate
+    params['refiner'] = {
+        'in': init_linear(next(ks), cfg.text_dim, h, dt),
+        't_embed': init_mlp_embedder(next(ks), 256, h, dt),
+        'blocks': [
+            {
+                'qkv': init_linear(next(ks), h, 3 * h, dt),
+                'proj': init_linear(next(ks), h, h, dt),
+                'fc1': init_linear(next(ks), h, 4 * h, dt),
+                'fc2': init_linear(next(ks), 4 * h, h, dt),
+                'gate': init_linear(next(ks), h, 2 * h, dt),
+            } for _ in range(2)
+        ],
+    }
+    return params
+
+
+def text_refiner(p: Dict, txt: jnp.ndarray, t_emb: jnp.ndarray,
+                 num_heads: int) -> jnp.ndarray:
+    """Individual-token text refiner (reference hyvideo/modules/
+    token_refiner.py): self-attention + MLP blocks with timestep-gated
+    residuals."""
+    x = linear(p['in'], txt)
+    c = mlp_embedder(p['t_embed'], t_emb)
+    B, S, h = x.shape
+    D = h // num_heads
+    for blk in p['blocks']:
+        gates = linear(blk['gate'], jax.nn.silu(c))[:, None, :]
+        g1, g2 = jnp.split(gates, 2, axis=-1)
+        xn = layernorm(x)
+        q, k, v = jnp.split(linear(blk['qkv'], xn), 3, axis=-1)
+        q, k, v = (z.reshape(B, S, num_heads, D).transpose(0, 2, 1, 3)
+                   for z in (q, k, v))
+        s = jnp.einsum('bhid,bhjd->bhij', q, k) / np.sqrt(D)
+        o = jnp.einsum('bhij,bhjd->bhid',
+                       jax.nn.softmax(s.astype(jnp.float32), -1
+                                      ).astype(x.dtype), v)
+        o = o.transpose(0, 2, 1, 3).reshape(B, S, h)
+        x = x + g1 * linear(blk['proj'], o)
+        xm = jax.nn.gelu(linear(blk['fc1'], layernorm(x)).astype(
+            jnp.float32), approximate=True).astype(x.dtype)
+        x = x + g2 * linear(blk['fc2'], xm)
+    return x
+
+
+@dataclass
+class HunyuanModel:
+    """Bundles config + sparse context; builds the static voxel mask."""
+    cfg: HunyuanModelConfig
+    ck: ChipmunkConfig
+    use_kernels: bool = True
+    interpret: bool = False
+
+    def __post_init__(self):
+        t, h, w = self.cfg.grid
+        # static mask: local voxel cube + text (reference
+        # initialize_static_mask, modules/attn.py:24-73), at the padded seq
+        lv = self.ck.attn.local_voxels
+        mask, _, _ = get_local_indices_with_text(
+            vid_shape=(t, h, w), txt_len=self.cfg.txt_len,
+            voxel_shape=self.cfg.voxel_shape,
+            local_shape=(lv, lv, lv), rk=0.0,
+            kv_tile_size=self.ck.attn.counts_multiple_of)
+        seq = self.cfg.seq_len
+        pad = (-seq) % 128
+        self.seq_padded = seq + pad
+        g_pad = self.seq_padded // 128 - mask.shape[0]
+        if pad or g_pad > 0:
+            m = np.zeros((self.seq_padded // 128, self.seq_padded), bool)
+            m[:mask.shape[0], :mask.shape[1]] = mask
+            # padded query rows attend to the first kv tile (harmless)
+            m[mask.shape[0]:, :128] = True
+            mask = m
+        self.static_mask = mask
+        self.sp = FluxSparse.build(
+            self.ck, self.cfg.core(), self.seq_padded,
+            static_mask_tokens=jnp.asarray(mask),
+            use_kernels=self.use_kernels, interpret=self.interpret)
+
+    # ------------------------------------------------------------ tokens
+    def patchify_video(self, latents: jnp.ndarray) -> jnp.ndarray:
+        """[B, C, T, H, W] -> [B, img_len, C*pt*ph*pw] in voxel order
+        (reference models.py:675-684 img_in + voxel_in)."""
+        B, C, T, H, W = latents.shape
+        pt, ph, pw = self.cfg.patch_size
+        t, h, w = self.cfg.grid
+        x = latents.reshape(B, C, t, pt, h, ph, w, pw)
+        x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7).reshape(
+            B, t * h * w, C * pt * ph * pw)
+        p = jnp.asarray(voxel_order(t, h, w, self.cfg.voxel_shape))
+        return x[:, p]
+
+    def unpatchify_video(self, x: jnp.ndarray, B: int) -> jnp.ndarray:
+        pt, ph, pw = self.cfg.patch_size
+        C = self.cfg.in_channels
+        t, h, w = self.cfg.grid
+        inv = jnp.asarray(inverse_voxel_order(t, h, w, self.cfg.voxel_shape))
+        x = x[:, inv]
+        x = x.reshape(B, t, h, w, C, pt, ph, pw)
+        return x.transpose(0, 4, 1, 5, 2, 6, 3, 7).reshape(
+            B, C, t * pt, h * ph, w * pw)
+
+    def rope(self, B: int):
+        t, h, w = self.cfg.grid
+        tt = jnp.arange(t)
+        hh = jnp.arange(h)
+        ww = jnp.arange(w)
+        ids = jnp.stack(jnp.meshgrid(tt, hh, ww, indexing='ij'),
+                        axis=-1).reshape(-1, 3)
+        p = jnp.asarray(voxel_order(t, h, w, self.cfg.voxel_shape))
+        ids = ids[p]
+        # img first, then txt with zero ids (identity rotation), then pad
+        pad = self.seq_padded - self.cfg.img_len
+        ids = jnp.concatenate([ids, jnp.zeros((pad, 3), ids.dtype)], axis=0)
+        ids = jnp.broadcast_to(ids[None], (B,) + ids.shape)
+        return build_rope(ids, self.cfg.axes_dim, self.cfg.theta)
+
+    # ----------------------------------------------------------- forward
+    def forward(self, params: Dict, latents: jnp.ndarray,
+                txt: jnp.ndarray, t_vec: jnp.ndarray, y: jnp.ndarray,
+                state: FluxState, step: FluxStep,
+                guidance: Optional[jnp.ndarray] = None,
+                key: Optional[jax.Array] = None,
+                pe=None) -> Tuple[jnp.ndarray, FluxState]:
+        """latents: [B, C, T, H, W]; txt: [B, txt_len, text_dim];
+        y: [B, vec_in] pooled text.  Returns (velocity pred, state)."""
+        B = latents.shape[0]
+        cfg = self.cfg
+        img = self.patchify_video(latents)
+        t_emb = timestep_embedding(t_vec, 256).astype(cfg.dtype)
+        txt_ref = text_refiner(params['refiner'], txt.astype(cfg.dtype),
+                               t_emb, cfg.num_heads)
+        pe = pe if pe is not None else self.rope(B)
+        # pad img tail so seq is 128-aligned (padding tokens are appended
+        # AFTER img, before txt would break layout — we pad between img and
+        # txt: img | pad | txt, with static mask rows covering it)
+        pad = self.seq_padded - cfg.seq_len
+        if pad:
+            img = jnp.concatenate(
+                [img, jnp.zeros((B, pad, img.shape[-1]), img.dtype)], axis=1)
+        core = cfg.core()
+        pred, state2 = flux_forward(params, core, self.sp, img, txt_ref,
+                                    t_vec, y, pe, state, step,
+                                    guidance=guidance, key=key)
+        pred = pred[:, :cfg.img_len]
+        return self.unpatchify_video(pred, B), state2
+
+    def init_state(self, B: int) -> FluxState:
+        return self.sp.init_state(self.cfg.core(), B)

@@ -1,0 +1,97 @@
+"""HunyuanVideo-architecture model at tiny config on CPU: voxel reorder,
+static mask, text refiner, sparse step schedule."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chipmunk_tpu.config import config_from_dict
+from chipmunk_tpu.models.hunyuan import (HunyuanModelConfig, HunyuanModel,
+                                         init_hunyuan_params)
+from chipmunk_tpu.models.flux import FluxStep
+from chipmunk_tpu.schedule import step_plan
+
+
+def tiny_hunyuan(sparse=True, local_voxels=1):
+    cfg = HunyuanModelConfig(
+        latent_t=8, latent_h=8, latent_w=16, in_channels=4,
+        patch_size=(1, 2, 2), hidden_size=128, num_heads=2, mlp_ratio=4.0,
+        depth_double=2, depth_single=2, axes_dim=(16, 24, 24), theta=256,
+        text_dim=64, txt_len=128, vec_in_dim=32, guidance_embed=False,
+        voxel_shape=(4, 4, 8), dtype=jnp.float32)
+    ck = config_from_dict({
+        'steps': 4,
+        'attn': {'top_keys': 0.3, 'kv_block': 32, 'counts_multiple_of': 32,
+                 'random_keys': 0.05, 'local_voxels': local_voxels,
+                 'first_n_dense_layers': 1, 'is_enabled': sparse,
+                 'full_step_schedule': [0, 1, 3],
+                 'should_compress_indices': True, 'recompute_mask': True},
+        'mlp': {'is_enabled': False},
+        'step_caching': {'is_enabled': False},
+    })
+    return HunyuanModel(cfg=cfg, ck=ck, use_kernels=False)
+
+
+def test_hunyuan_static_mask_shape():
+    m = tiny_hunyuan()
+    seq = m.cfg.seq_len  # 256 img + 128 txt = 384
+    assert m.seq_padded % 128 == 0
+    assert m.static_mask.shape == (m.seq_padded // 128, m.seq_padded)
+    # all query groups attend to text columns
+    assert m.static_mask[:3, m.cfg.img_len:m.cfg.seq_len].all()
+
+
+def test_hunyuan_video_roundtrip():
+    m = tiny_hunyuan()
+    B, C = 1, 4
+    lat = jax.random.normal(jax.random.PRNGKey(0),
+                            (B, C, 8, 8, 16), jnp.float32)
+    tok = m.patchify_video(lat)
+    assert tok.shape == (B, m.cfg.img_len, C * 4)
+    back = m.unpatchify_video(tok, B)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(lat))
+
+
+def test_hunyuan_forward_steps():
+    m = tiny_hunyuan()
+    params = init_hunyuan_params(jax.random.PRNGKey(0), m.cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    lat = jax.random.normal(ks[0], (1, 4, 8, 8, 16), jnp.float32)
+    txt = jax.random.normal(ks[1], (1, 128, 64), jnp.float32)
+    y = jax.random.normal(ks[2], (1, 32), jnp.float32)
+    state = m.init_state(1)
+    plan = step_plan(m.ck)
+    pe = m.rope(1)
+    for i, kind in enumerate(plan):
+        t = jnp.full((1,), 1.0 - i / 4, jnp.float32)
+        pred, state = m.forward(params, lat, txt, t, y, state,
+                                FluxStep.of(kind, i),
+                                key=jax.random.PRNGKey(i), pe=pe)
+        assert pred.shape == lat.shape
+        assert np.isfinite(np.asarray(pred)).all(), f"step {i}"
+
+
+def test_hunyuan_sparse_close_to_dense():
+    ms = tiny_hunyuan(sparse=True)
+    md = tiny_hunyuan(sparse=False)
+    params = init_hunyuan_params(jax.random.PRNGKey(0), ms.cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    lat = jax.random.normal(ks[0], (1, 4, 8, 8, 16), jnp.float32)
+    txt = jax.random.normal(ks[1], (1, 128, 64), jnp.float32)
+    y = jax.random.normal(ks[2], (1, 32), jnp.float32)
+    plan = step_plan(ms.ck)
+    pe = ms.rope(1)
+    st_s, st_d = ms.init_state(1), md.init_state(1)
+    lat_s, lat_d = lat, lat
+    for i, kind in enumerate(plan):
+        t = jnp.full((1,), 1.0 - i / 4, jnp.float32)
+        ps, st_s = ms.forward(params, lat_s, txt, t, y, st_s,
+                              FluxStep.of(kind, i),
+                              key=jax.random.PRNGKey(i), pe=pe)
+        pd, st_d = md.forward(params, lat_d, txt, t, y, st_d,
+                              FluxStep.of(kind, i),
+                              key=jax.random.PRNGKey(i), pe=pe)
+        lat_s = lat_s - 0.25 * ps
+        lat_d = lat_d - 0.25 * pd
+    denom = np.abs(np.asarray(lat_d)).mean()
+    rel = np.abs(np.asarray(lat_s) - np.asarray(lat_d)).mean() / denom
+    assert rel < 0.2, rel
