@@ -82,15 +82,18 @@ def run_e2e():
         sp = FluxSparse.build(ck, model, seq, use_kernels=on_tpu)
         sampler = FluxSampler(cfg=model, ck=ck, sp=sp,
                               h_img=h_img, w_img=w_img)
+        import numpy as np
         t0 = time.perf_counter()
         out = sampler.denoise(params, img, txt, y, ts)
-        jax.block_until_ready(out)
+        # materialize on host: block_until_ready can return early under
+        # remote-tunnel backends, a device_get cannot
+        _ = float(np.asarray(out[0, 0, 0]))
         log(f"{tag}: warmup(+compile) {time.perf_counter()-t0:.1f}s")
         best = float('inf')
         for trial in range(3):
             t0 = time.perf_counter()
             out = sampler.denoise(params, img, txt, y, ts)
-            jax.block_until_ready(out)
+            _ = float(np.asarray(out[0, 0, 0]))
             dt = time.perf_counter() - t0
             log(f"{tag}: trial {trial}: {dt:.3f}s")
             best = min(best, dt)

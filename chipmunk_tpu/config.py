@@ -49,10 +49,12 @@ class MlpConfig:
     counts_multiple_of: int = 256
     bm: int = 128           # token block size sharing one neuron set ([128,1])
     mbm: int = 128          # block-mean group size
-    # TPU-only: neuron gather granularity (neurons per gathered weight block)
-    neuron_block: int = 16
+    # TPU-only: neuron gather granularity (neurons per gathered weight
+    # block).  128 = one MXU tile per gather (the BlockSpec kernel path
+    # requires >= 128; finer granularity falls back to the eager path)
+    neuron_block: int = 128
     # TPU-only: cap on selected neuron blocks (static shape); fraction of N
-    max_selected_frac: float = 1.0
+    max_selected_frac: float = 0.5
 
 
 @dataclass(frozen=True)
@@ -71,10 +73,11 @@ class AttnConfig:
     counts_multiple_of: int = 128
     pad_qkv_before_kernel: bool = True
     mbm: int = 128          # query-group size (reference: 192)
-    # TPU-only: KV gather granularity (tokens per gathered KV block)
-    kv_block: int = 16
+    # TPU-only: KV gather granularity (tokens per gathered KV block).
+    # 128 = full-tile DMAs; down to 8 for near-token selection granularity
+    kv_block: int = 128
     # TPU-only: cap on selected KV fraction (static shapes); 1.0 = no cap
-    max_selected_frac: float = 1.0
+    max_selected_frac: float = 0.5
 
 
 @dataclass(frozen=True)

@@ -33,8 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.attn_ref import attn_scale
 
-DEFAULT_BQ = 128
-DEFAULT_BK = 512
+DEFAULT_BQ = 256
+DEFAULT_BK = 1024
 NEG_INF = -1.0e30
 
 

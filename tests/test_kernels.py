@@ -45,8 +45,9 @@ def test_colsum_attn_kernel():
     np.testing.assert_allclose(cs, cs_blk_ref, atol=1e-2, rtol=1e-3)
 
 
-@pytest.mark.parametrize('kv_block', [128, 32])
-def test_csp_attn_kernel_vs_ref(kv_block):
+@pytest.mark.parametrize('kv_block,mode', [(128, 'vmem'), (32, 'vmem'),
+                                           (128, 'hbm'), (32, 'hbm')])
+def test_csp_attn_kernel_vs_ref(kv_block, mode):
     q, k, v = rand_qkv(s=512)
     B, H, S, D = q.shape
     qg = 128
@@ -56,7 +57,7 @@ def test_csp_attn_kernel_vs_ref(kv_block):
     mask = mask.at[..., 0].set(True)  # counts >= 1
     inds, counts = ops.mask_to_indices(mask, multiple_of=1)
     o = csp_attn(q, k, v, inds, counts, qg=qg, kv_block=kv_block,
-                 interpret=True)
+                 mode=mode, interpret=True)
     o_ref = ops.csp_block_attn_ref(q, k, v, inds, counts, qg, kv_block)
     np.testing.assert_allclose(o, o_ref, atol=2e-3, rtol=2e-3)
 

@@ -15,7 +15,7 @@ KEY = jax.random.PRNGKey(0)
 
 def make_attn(s=512, top_keys=0.4, kv_block=32):
     cfg = AttnConfig(top_keys=top_keys, kv_block=kv_block, random_keys=0.0,
-                     counts_multiple_of=kv_block)
+                     counts_multiple_of=kv_block, max_selected_frac=1.0)
     return SparseDiffAttn.build(cfg, s, use_kernels=False)
 
 
@@ -84,7 +84,7 @@ def test_attn_dense_layer_passthrough():
 
 def make_mlp(t=256, c=64, n=512, top_keys=0.5, bn=32):
     cfg = MlpConfig(top_keys=top_keys, neuron_block=bn, random_keys=0.0,
-                    counts_multiple_of=bn)
+                    counts_multiple_of=bn, max_selected_frac=1.0)
     return SparseDiffMlp.build(cfg, t, c, n, use_kernels=False)
 
 

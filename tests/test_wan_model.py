@@ -1,0 +1,85 @@
+"""Wan2.1-architecture model at tiny config on CPU: CFG dual-invocation
+caches, cross-attention, text-free self-attention sequence."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chipmunk_tpu.config import config_from_dict
+from chipmunk_tpu.models.wan import (WanModelConfig, WanModel,
+                                     init_wan_params)
+from chipmunk_tpu.models.flux import FluxStep
+from chipmunk_tpu.schedule import step_plan
+
+
+def tiny_wan(sparse=True):
+    cfg = WanModelConfig(
+        latent_t=4, latent_h=8, latent_w=16, in_channels=4,
+        patch_size=(1, 2, 2), dim=128, ffn_dim=512, num_heads=2,
+        num_layers=2, text_dim=64, txt_len=64, freq_dim=64,
+        axes_dim=(16, 24, 24), voxel_shape=(4, 4, 8), dtype=jnp.float32)
+    ck = config_from_dict({
+        'steps': 4,
+        'num_model_invocations_per_inference_step': 2,
+        'attn': {'top_keys': 0.3, 'kv_block': 32, 'counts_multiple_of': 32,
+                 'random_keys': 0.0, 'local_voxels': 1,
+                 'first_n_dense_layers': 1, 'is_enabled': sparse,
+                 'full_step_schedule': [0, 1, 3]},
+        'mlp': {'is_enabled': sparse, 'top_keys': 0.5, 'neuron_block': 32,
+                'counts_multiple_of': 32, 'first_n_dense_layers': 1,
+                'full_step_every': 3, 'random_keys': 0.0},
+        'step_caching': {'is_enabled': False},
+    })
+    return WanModel(cfg=cfg, ck=ck, use_kernels=False)
+
+
+def test_wan_cfg_denoise_loop():
+    """Full CFG loop: cond + uncond invocations with separate caches
+    (reference text2video.py:246-252)."""
+    m = tiny_wan()
+    params = init_wan_params(jax.random.PRNGKey(0), m.cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    lat = jax.random.normal(ks[0], (1, 4, 4, 8, 16), jnp.float32)
+    ctx_c = jax.random.normal(ks[1], (1, 64, 64), jnp.float32)
+    ctx_u = jax.random.normal(ks[2], (1, 64, 64), jnp.float32)
+    st_c, st_u = m.init_cfg_states(1)
+    plan = step_plan(m.ck)
+    pe = m.rope(1)
+    guide = 5.0
+    for i, kind in enumerate(plan):
+        t = jnp.full((1,), 1.0 - i / 4, jnp.float32)
+        step = FluxStep.of(kind, i)
+        p_c, st_c = m.forward(params, lat, ctx_c, t, st_c, step,
+                              key=jax.random.PRNGKey(i), pe=pe)
+        p_u, st_u = m.forward(params, lat, ctx_u, t, st_u, step,
+                              key=jax.random.PRNGKey(i), pe=pe)
+        pred = p_u + guide * (p_c - p_u)
+        lat = lat - 0.25 * pred
+        assert np.isfinite(np.asarray(lat)).all(), f"step {i}"
+    # the two invocation states must have diverged (different contexts)
+    d = np.abs(np.asarray(st_c.attn.out_cache)
+               - np.asarray(st_u.attn.out_cache)).max()
+    assert d > 0
+
+
+def test_wan_sparse_close_to_dense():
+    ms, md = tiny_wan(True), tiny_wan(False)
+    params = init_wan_params(jax.random.PRNGKey(0), ms.cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 2)
+    lat = jax.random.normal(ks[0], (1, 4, 4, 8, 16), jnp.float32)
+    ctx = jax.random.normal(ks[1], (1, 64, 64), jnp.float32)
+    st_s, st_d = ms.init_state(1), md.init_state(1)
+    plan = step_plan(ms.ck)
+    pe = ms.rope(1)
+    lat_s = lat_d = lat
+    for i, kind in enumerate(plan):
+        t = jnp.full((1,), 1.0 - i / 4, jnp.float32)
+        step = FluxStep.of(kind, i)
+        p_s, st_s = ms.forward(params, lat_s, ctx, t, st_s, step,
+                               key=jax.random.PRNGKey(i), pe=pe)
+        p_d, st_d = md.forward(params, lat_d, ctx, t, st_d, step,
+                               key=jax.random.PRNGKey(i), pe=pe)
+        lat_s = lat_s - 0.25 * p_s
+        lat_d = lat_d - 0.25 * p_d
+    denom = np.abs(np.asarray(lat_d)).mean()
+    rel = np.abs(np.asarray(lat_s) - np.asarray(lat_d)).mean() / denom
+    assert rel < 0.2, rel
