@@ -1,0 +1,127 @@
+"""Checkpoint loading: BFL FLUX safetensors -> chipmunk_tpu param pytrees.
+
+Rebuilds the reference's weight-loading path (examples/flux/src/flux/
+util.py:320-358: load_sft + sparsify) — except "sparsify" here is pure
+layout transformation done at load time: single-block linear1/linear2 are
+split into qkv/fc1/o_proj/fc2 (what SingleStreamBlock.sparsify does to the
+live module, layers.py:239-291), and MLP weights are stored output-major
+for the sparse kernels.
+
+Torch Linear stores [out, in]; our ``linear()`` uses [in, out] — hence the
+transposes below.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from .flux import FluxModelConfig
+
+
+def _t(w):
+    return jnp.asarray(np.asarray(w)).T
+
+
+def _a(w):
+    return jnp.asarray(np.asarray(w))
+
+
+def _lin(sd, name, dtype, bias=True):
+    p = {'w': _t(sd[f'{name}.weight']).astype(dtype)}
+    if bias and f'{name}.bias' in sd:
+        p['b'] = _a(sd[f'{name}.bias']).astype(dtype)
+    return p
+
+
+def _embedder(sd, name, dtype):
+    return {'in': _lin(sd, f'{name}.in_layer', dtype),
+            'out': _lin(sd, f'{name}.out_layer', dtype)}
+
+
+def load_flux_params(state_dict: Dict[str, Any],
+                     cfg: FluxModelConfig) -> Dict:
+    """Convert a BFL FLUX state dict (tensor name -> array) to our param
+    pytree.  Accepts numpy / torch tensors / jnp arrays as values."""
+    dt = cfg.dtype
+    h, mh = cfg.hidden_size, cfg.mlp_hidden
+    sd = state_dict
+
+    def dbl(i):
+        p = f'double_blocks.{i}'
+        return {
+            'img_mod': _lin(sd, f'{p}.img_mod.lin', dt),
+            'txt_mod': _lin(sd, f'{p}.txt_mod.lin', dt),
+            'img_qkv': _lin(sd, f'{p}.img_attn.qkv', dt),
+            'txt_qkv': _lin(sd, f'{p}.txt_attn.qkv', dt),
+            'img_qnorm': _a(sd[f'{p}.img_attn.norm.query_norm.scale']
+                            ).astype(dt),
+            'img_knorm': _a(sd[f'{p}.img_attn.norm.key_norm.scale']
+                            ).astype(dt),
+            'txt_qnorm': _a(sd[f'{p}.txt_attn.norm.query_norm.scale']
+                            ).astype(dt),
+            'txt_knorm': _a(sd[f'{p}.txt_attn.norm.key_norm.scale']
+                            ).astype(dt),
+            'img_proj': _lin(sd, f'{p}.img_attn.proj', dt),
+            'txt_proj': _lin(sd, f'{p}.txt_attn.proj', dt),
+            # MLP: torch [out, in]; w1t wants [N, C] = fc1 as stored
+            'img_w1t': _a(sd[f'{p}.img_mlp.0.weight']).astype(dt),
+            'img_b1': _a(sd[f'{p}.img_mlp.0.bias']).astype(dt),
+            'img_w2': _t(sd[f'{p}.img_mlp.2.weight']).astype(dt),
+            'img_b2': _a(sd[f'{p}.img_mlp.2.bias']).astype(dt),
+            'txt_w1t': _a(sd[f'{p}.txt_mlp.0.weight']).astype(dt),
+            'txt_b1': _a(sd[f'{p}.txt_mlp.0.bias']).astype(dt),
+            'txt_w2': _t(sd[f'{p}.txt_mlp.2.weight']).astype(dt),
+            'txt_b2': _a(sd[f'{p}.txt_mlp.2.bias']).astype(dt),
+        }
+
+    def sgl(i):
+        p = f'single_blocks.{i}'
+        w1 = np.asarray(sd[f'{p}.linear1.weight'])   # [3h+mh, h]
+        b1 = np.asarray(sd[f'{p}.linear1.bias'])
+        w2 = np.asarray(sd[f'{p}.linear2.weight'])   # [h, h+mh]
+        b2 = np.asarray(sd[f'{p}.linear2.bias'])
+        return {
+            'mod': _lin(sd, f'{p}.modulation.lin', dt),
+            # the sparsify split (reference layers.py:239-291)
+            'qkv': {'w': jnp.asarray(w1[:3 * h].T).astype(dt),
+                    'b': jnp.asarray(b1[:3 * h]).astype(dt)},
+            'w1t': jnp.asarray(w1[3 * h:]).astype(dt),
+            'b1': jnp.asarray(b1[3 * h:]).astype(dt),
+            'o_proj': {'w': jnp.asarray(w2[:, :h].T).astype(dt),
+                       'b': jnp.asarray(b2).astype(dt)},
+            'w2': jnp.asarray(w2[:, h:].T).astype(dt),
+            'qnorm': _a(sd[f'{p}.norm.query_norm.scale']).astype(dt),
+            'knorm': _a(sd[f'{p}.norm.key_norm.scale']).astype(dt),
+        }
+
+    def stack(n, fn):
+        import jax
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[fn(i) for i in range(n)])
+
+    params = {
+        'img_in': _lin(sd, 'img_in', dt),
+        'txt_in': _lin(sd, 'txt_in', dt),
+        'time_in': _embedder(sd, 'time_in', dt),
+        'vector_in': _embedder(sd, 'vector_in', dt),
+        'double': stack(cfg.depth, dbl),
+        'single': stack(cfg.depth_single_blocks, sgl),
+        'final_mod': _lin(sd, 'final_layer.adaLN_modulation.1', dt),
+        'final_proj': _lin(sd, 'final_layer.linear', dt),
+    }
+    if cfg.guidance_embed and 'guidance_in.in_layer.weight' in sd:
+        params['guidance_in'] = _embedder(sd, 'guidance_in', dt)
+    return params
+
+
+def load_flux_safetensors(path: str, cfg: FluxModelConfig) -> Dict:
+    """Load FLUX weights from a .safetensors file (reference util.py:
+    340-346 load_sft)."""
+    from safetensors import safe_open
+    sd = {}
+    with safe_open(path, framework="np") as f:
+        for k in f.keys():
+            sd[k] = f.get_tensor(k)
+    return load_flux_params(sd, cfg)

@@ -1,0 +1,113 @@
+"""FP8 (e4m3) MLP weights with per-tensor scales.
+
+Functional rebuild of the reference's F8Linear (src/chipmunk/modules/
+mlp_fp8.py): e4m3 weight quantization with amax scaling (169-184), a
+dynamic input scale calibrated over the first ``CALIBRATION_STEPS`` forward
+calls then frozen (197-221), and scaled matmul (247-270 torch._scaled_mm).
+
+JAX/TPU notes: the scaled matmul is ``jnp.dot`` on float8_e4m3fn operands
+with fp32 accumulation — XLA lowers it natively where the MXU generation
+supports fp8 and emulates (upcasts) elsewhere, so this is primarily a
+weight-memory/bandwidth optimization on current TPUs.  Calibration state is
+an explicit pytree (the reference mutates module attributes).  As in the
+reference, fc2 of *sparse* MLPs stays bf16 (mlp_fp8.py:323-326 — fp8
+unsupported for the sparse MM2) — the sparse kernel path only quantizes mm1.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+E4M3_MAX = 448.0
+CALIBRATION_STEPS = 12  # reference mlp_fp8.py:197-221
+
+
+class F8Weight(NamedTuple):
+    w8: jnp.ndarray          # float8_e4m3fn, same layout as the bf16 weight
+    scale: jnp.ndarray       # fp32 scalar: w ~= w8 * scale
+
+
+class F8InputState(NamedTuple):
+    """Running input-scale calibration (explicit, vs reference's mutable
+    trial counter)."""
+    amax: jnp.ndarray        # fp32 scalar running max
+    count: jnp.ndarray       # int32 calls seen
+
+
+def quantize_weight(w: jnp.ndarray) -> F8Weight:
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)))
+    scale = jnp.maximum(amax / E4M3_MAX, 1e-12)
+    w8 = (w.astype(jnp.float32) / scale).astype(jnp.float8_e4m3fn)
+    return F8Weight(w8=w8, scale=scale)
+
+
+def init_input_state() -> F8InputState:
+    return F8InputState(amax=jnp.zeros((), jnp.float32),
+                        count=jnp.zeros((), jnp.int32))
+
+
+def update_calibration(st: F8InputState, x: jnp.ndarray) -> F8InputState:
+    cur = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    new_amax = jnp.where(st.count < CALIBRATION_STEPS,
+                         jnp.maximum(st.amax, cur), st.amax)
+    return F8InputState(amax=new_amax, count=st.count + 1)
+
+
+def quantize_input(x: jnp.ndarray, st: F8InputState
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Quantize activations with the calibrated scale (falling back to the
+    current batch amax while calibrating)."""
+    cur = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    amax = jnp.where(st.count < CALIBRATION_STEPS, jnp.maximum(st.amax, cur),
+                     st.amax)
+    scale = jnp.maximum(amax / E4M3_MAX, 1e-12)
+    x8 = (x.astype(jnp.float32) / scale).astype(jnp.float8_e4m3fn)
+    return x8, scale
+
+
+def f8_matmul(x8: jnp.ndarray, x_scale: jnp.ndarray, w: F8Weight,
+              bias: Optional[jnp.ndarray] = None,
+              out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """y = (x8 @ w8ᵀ-layout) * (sx * sw) + b  (reference forward,
+    mlp_fp8.py:247-270).  w.w8 is output-major [N, C] like the sparse
+    kernels' w1t."""
+    y = jax.lax.dot_general(x8, w.w8, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = y * (x_scale * w.scale)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
+def f8_linear(x: jnp.ndarray, w: F8Weight, st: F8InputState,
+              bias: Optional[jnp.ndarray] = None,
+              out_dtype=jnp.bfloat16
+              ) -> Tuple[jnp.ndarray, F8InputState]:
+    x8, sx = quantize_input(x, st)
+    return f8_matmul(x8, sx, w, bias, out_dtype), update_calibration(st, x)
+
+
+def quantize_flux_mlps(params: Dict, quantize_sparse_fc2: bool = False
+                       ) -> Tuple[Dict, Dict]:
+    """Quantize FLUX MLP fc1 weights (and optionally dense fc2) to fp8.
+
+    Mirrors recursive_swap_linears/quantize_fp8 (reference mlp_fp8.py:
+    294-400): modulation layers and the sparse img_mlp fc2 are kept bf16.
+    Returns (f8_weights pytree keyed like params, calib states)."""
+    f8 = {'double': {}, 'single': {}}
+    f8['double']['img_w1t'] = jax.vmap(quantize_weight)(
+        params['double']['img_w1t'])
+    f8['double']['txt_w1t'] = jax.vmap(quantize_weight)(
+        params['double']['txt_w1t'])
+    f8['single']['w1t'] = jax.vmap(quantize_weight)(params['single']['w1t'])
+    if quantize_sparse_fc2:
+        f8['double']['img_w2'] = jax.vmap(quantize_weight)(
+            params['double']['img_w2'])
+        f8['single']['w2'] = jax.vmap(quantize_weight)(params['single']['w2'])
+    calib = jax.tree_util.tree_map(
+        lambda _: init_input_state(),
+        {'double_img': 0, 'double_txt': 0, 'single': 0})
+    return f8, calib

@@ -1,0 +1,114 @@
+"""Weight-loading: BFL state-dict layout -> our param pytree, including the
+single-block linear1/linear2 sparsify split algebra."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chipmunk_tpu.models import FluxModelConfig, init_flux_params
+from chipmunk_tpu.models.loaders import load_flux_params
+from chipmunk_tpu.models.layers import linear
+
+
+def synth_state_dict(cfg: FluxModelConfig, rng):
+    h, mh = cfg.hidden_size, cfg.mlp_hidden
+    sd = {}
+
+    def lin(name, din, dout, bias=True):
+        sd[f'{name}.weight'] = rng.standard_normal((dout, din)).astype(
+            np.float32) * 0.02
+        if bias:
+            sd[f'{name}.bias'] = rng.standard_normal((dout,)).astype(
+                np.float32) * 0.02
+
+    lin('img_in', cfg.in_channels, h)
+    lin('txt_in', cfg.context_in_dim, h)
+    for e in ('time_in', 'vector_in', 'guidance_in'):
+        din = 256 if e != 'vector_in' else cfg.vec_in_dim
+        lin(f'{e}.in_layer', din, h)
+        lin(f'{e}.out_layer', h, h)
+    for i in range(cfg.depth):
+        p = f'double_blocks.{i}'
+        lin(f'{p}.img_mod.lin', h, 6 * h)
+        lin(f'{p}.txt_mod.lin', h, 6 * h)
+        lin(f'{p}.img_attn.qkv', h, 3 * h)
+        lin(f'{p}.txt_attn.qkv', h, 3 * h)
+        for n in ('img_attn', 'txt_attn'):
+            sd[f'{p}.{n}.norm.query_norm.scale'] = np.ones(
+                (cfg.head_dim,), np.float32)
+            sd[f'{p}.{n}.norm.key_norm.scale'] = np.ones(
+                (cfg.head_dim,), np.float32)
+        lin(f'{p}.img_attn.proj', h, h)
+        lin(f'{p}.txt_attn.proj', h, h)
+        lin(f'{p}.img_mlp.0', h, mh)
+        lin(f'{p}.img_mlp.2', mh, h)
+        lin(f'{p}.txt_mlp.0', h, mh)
+        lin(f'{p}.txt_mlp.2', mh, h)
+    for i in range(cfg.depth_single_blocks):
+        p = f'single_blocks.{i}'
+        lin(f'{p}.modulation.lin', h, 3 * h)
+        lin(f'{p}.linear1', h, 3 * h + mh)
+        lin(f'{p}.linear2', h + mh, h)
+        sd[f'{p}.norm.query_norm.scale'] = np.ones((cfg.head_dim,),
+                                                   np.float32)
+        sd[f'{p}.norm.key_norm.scale'] = np.ones((cfg.head_dim,), np.float32)
+    lin('final_layer.adaLN_modulation.1', h, 2 * h)
+    lin('final_layer.linear', h, cfg.in_channels)
+    return sd
+
+
+def tiny_cfg():
+    return FluxModelConfig(in_channels=8, vec_in_dim=16, context_in_dim=16,
+                           hidden_size=64, num_heads=2, mlp_ratio=2.0,
+                           depth=2, depth_single_blocks=2,
+                           axes_dim=(8, 12, 12), guidance_embed=True,
+                           txt_len=128, dtype=jnp.float32)
+
+
+def test_loader_tree_matches_init():
+    cfg = tiny_cfg()
+    rng = np.random.default_rng(0)
+    loaded = load_flux_params(synth_state_dict(cfg, rng), cfg)
+    ref = init_flux_params(jax.random.PRNGKey(0), cfg)
+    ls = jax.tree_util.tree_structure(loaded)
+    rs = jax.tree_util.tree_structure(ref)
+    assert ls == rs, (ls, rs)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(loaded),
+            jax.tree_util.tree_leaves_with_path(ref)):
+        assert a.shape == b.shape, (pa, a.shape, b.shape)
+
+
+def test_single_block_split_algebra():
+    """Our pre-split qkv/fc1 + o_proj/fc2 must reproduce the fused
+    linear1/linear2 computation exactly (reference sparsify contract,
+    layers.py:239-291)."""
+    cfg = tiny_cfg()
+    h, mh = cfg.hidden_size, cfg.mlp_hidden
+    rng = np.random.default_rng(1)
+    sd = synth_state_dict(cfg, rng)
+    params = load_flux_params(sd, cfg)
+    x = jnp.asarray(rng.standard_normal((4, h)).astype(np.float32))
+
+    # fused computation (reference SingleStreamBlock pre-sparsify)
+    W1 = jnp.asarray(sd['single_blocks.0.linear1.weight'])
+    B1 = jnp.asarray(sd['single_blocks.0.linear1.bias'])
+    W2 = jnp.asarray(sd['single_blocks.0.linear2.weight'])
+    B2 = jnp.asarray(sd['single_blocks.0.linear2.bias'])
+    fused = x @ W1.T + B1
+    qkv_f, mlp_f = fused[:, :3 * h], fused[:, 3 * h:]
+    act_f = jax.nn.gelu(mlp_f, approximate=True)
+    # pretend attention output == qkv_f's first h columns, for algebra only
+    attn_out = qkv_f[:, :h]
+    out_fused = jnp.concatenate([attn_out, act_f], -1) @ W2.T + B2
+
+    p0 = jax.tree_util.tree_map(lambda z: z[0], params['single'])
+    qkv_s = linear(p0['qkv'], x)
+    np.testing.assert_allclose(np.asarray(qkv_s), np.asarray(qkv_f),
+                               atol=1e-5)
+    mlp_s = x @ p0['w1t'].T + p0['b1']
+    np.testing.assert_allclose(np.asarray(mlp_s), np.asarray(mlp_f),
+                               atol=1e-5)
+    out_split = (linear(p0['o_proj'], attn_out)
+                 + jax.nn.gelu(mlp_s, approximate=True) @ p0['w2'])
+    np.testing.assert_allclose(np.asarray(out_split), np.asarray(out_fused),
+                               atol=1e-4)
