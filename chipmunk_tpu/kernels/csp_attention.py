@@ -81,49 +81,83 @@ def _flash_update(s, m_ref, l_ref, acc_ref, vparts, p_dtype):
 # ---------------------------------------------------------------- VMEM mode
 
 def _csp_vmem_kernel(inds_ref, counts_ref,        # SMEM
-                     q_ref, k_ref, v_ref,         # VMEM (K/V whole head)
+                     q_ref, k_ref, v_ref,         # VMEM, whole head each
                      o_ref,
-                     acc_ref, m_ref, l_ref,       # scratch
-                     *, tau: float, kv_block: int, n_tiles: int, qg: int):
-    g = pl.program_id(1)
-    per_tile = COMPUTE_TILE // kv_block
-    count = counts_ref[0, 0, g]
-    live_tiles = (count + per_tile - 1) // per_tile
+                     kg_ref, vg_ref,              # [2, JT, D] gather scratch
+                     sems,                         # DMA [2, 2, jmax]
+                     *, tau: float, kv_block: int, jmax: int, qg: int,
+                     n_groups: int):
+    """One program per (b,h).  q/K/V/o stay VMEM-resident for the whole
+    head; per query group, the selected KV blocks are gathered VMEM->VMEM
+    with async local DMA double-buffered across groups, then attention is
+    one exact-softmax shot: two large matmuls instead of a flash loop.
+    Program count is B*H (vs B*H*G), so block-pipeline overhead amortizes
+    over all groups."""
+    JT = jmax * kv_block
 
-    acc_ref[:] = jnp.zeros_like(acc_ref)
-    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-    l_ref[:] = jnp.zeros_like(l_ref)
-    q = q_ref[0]
+    def group_dmas(g, slot):
+        count = counts_ref[0, 0, g]
+        for t in range(jmax):
+            idx = inds_ref[0, g, t]
+            start = pl.multiple_of(idx * kv_block, kv_block)
+            dst = pl.ds(t * kv_block, kv_block)
+            yield (t < count,
+                   pltpu.make_async_copy(
+                       k_ref.at[0, pl.ds(start, kv_block), :],
+                       kg_ref.at[slot, dst, :], sems.at[0, slot, t]),
+                   pltpu.make_async_copy(
+                       v_ref.at[0, pl.ds(start, kv_block), :],
+                       vg_ref.at[slot, dst, :], sems.at[1, slot, t]))
 
-    def body(jc, _):
-        @pl.when(jc < live_tiles)
-        def _compute():
-            sparts = []
-            starts = []
-            for t in range(per_tile):
-                idx = inds_ref[0, g, jc * per_tile + t]
-                start = pl.multiple_of(idx * kv_block, kv_block)
-                starts.append(start)
-                kt = k_ref[0, pl.ds(start, kv_block), :]
-                sparts.append(jax.lax.dot_general(
-                    q, kt, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32))
-            s = (sparts[0] if per_tile == 1
-                 else jnp.concatenate(sparts, axis=1)) * tau
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            valid = (jc * per_tile + col // kv_block) < count
-            s = jnp.where(valid, s, NEG_INF)
-            vparts = [(t * kv_block, kv_block,
-                       v_ref[0, pl.ds(starts[t], kv_block), :])
-                      for t in range(per_tile)]
-            _flash_update(s, m_ref, l_ref, acc_ref, vparts, v_ref.dtype)
+    def start_group(g, slot):
+        for live, kd, vd in group_dmas(g, slot):
+            @pl.when(live)
+            def _():
+                kd.start()
+                vd.start()
+
+    def wait_group(g, slot):
+        for live, kd, vd in group_dmas(g, slot):
+            @pl.when(live)
+            def _():
+                kd.wait()
+                vd.wait()
+
+    # unwritten scratch rows (count < jmax) must be finite: 0 * garbage
+    # in the PV matmul would poison the output (p is zeroed there, but
+    # 0 * NaN = NaN)
+    kg_ref[:] = jnp.zeros_like(kg_ref)
+    vg_ref[:] = jnp.zeros_like(vg_ref)
+    start_group(0, 0)
+
+    def body(g, _):
+        slot = jax.lax.rem(g, 2)
+
+        @pl.when(g + 1 < n_groups)
+        def _prefetch():
+            start_group(g + 1, 1 - slot)
+
+        wait_group(g, slot)
+        count = counts_ref[0, 0, g]
+        qrow = pl.multiple_of(g * qg, qg)
+        q = q_ref[0, pl.ds(qrow, qg), :]
+        s = jax.lax.dot_general(q, kg_ref[slot],
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * tau
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col // kv_block < count, s, NEG_INF)
+        # exact softmax: the whole selected row is in hand (no online pass)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(vg_ref.dtype), vg_ref[slot],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, pl.ds(qrow, qg), :] = (o / l).astype(o_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, n_tiles, body, 0)
-
-    l = l_ref[:]
-    l_safe = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+    jax.lax.fori_loop(0, n_groups, body, 0)
 
 
 # ----------------------------------------------------------------- HBM mode
@@ -251,19 +285,25 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     ]
     if mode == 'vmem':
         o = pl.pallas_call(
-            functools.partial(_csp_vmem_kernel, **common),
-            grid=(B * H, G),
-            in_specs=smem_specs + [
-                pl.BlockSpec((1, qg, D), lambda b, g: (b, g, 0)),
-                pl.BlockSpec((1, Sk, D), lambda b, g: (b, 0, 0)),
-                pl.BlockSpec((1, Sk, D), lambda b, g: (b, 0, 0)),
+            functools.partial(_csp_vmem_kernel, tau=common['tau'],
+                              kv_block=kv_block, jmax=jmax, qg=qg,
+                              n_groups=G),
+            grid=(B * H,),
+            in_specs=[
+                pl.BlockSpec((1, G, jmax), lambda b: (b, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, G), lambda b: (b, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, Sq, D), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, Sk, D), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, Sk, D), lambda b: (b, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, qg, D), lambda b, g: (b, g, 0)),
+            out_specs=pl.BlockSpec((1, Sq, D), lambda b: (b, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((B * H, Sq, D), q.dtype),
             scratch_shapes=[
-                pltpu.VMEM((qg, D), jnp.float32),
-                pltpu.VMEM((qg, 1), jnp.float32),
-                pltpu.VMEM((qg, 1), jnp.float32),
+                pltpu.VMEM((2, jmax * kv_block, D), k.dtype),
+                pltpu.VMEM((2, jmax * kv_block, D), v.dtype),
+                pltpu.SemaphoreType.DMA((2, 2, jmax)),
             ],
             interpret=interpret,
         )(indsf, countsf, qf, kf, vf)

@@ -1,0 +1,91 @@
+"""FLUX image generation CLI.
+
+Mirrors the reference's flux CLI flow (examples/flux/src/flux/cli.py:96-247):
+load the chipmunk config from --chipmunk-config, round the resolution,
+build the sparsity context, run the 50-step denoise loop, report timing.
+
+Weights: pass --ckpt /path/to/flux1-dev.safetensors to run the real model
+(loaded via chipmunk_tpu.models.loaders); without it a randomly initialized
+model of the requested depth runs so the pipeline is exercisable on any
+machine (text encoders / VAE are out of scope here — the reference vendors
+T5/CLIP/AE; plug your own and pass embeddings in).
+"""
+import argparse
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
+import jax
+import jax.numpy as jnp
+
+from chipmunk_tpu.config import load_config, ChipmunkConfig
+from chipmunk_tpu.models import FluxModelConfig, init_flux_params, FluxSparse
+from chipmunk_tpu.models.sampling import FluxSampler, get_schedule
+from chipmunk_tpu.utils.profiling import profile_region, StepTimer
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--chipmunk-config', default=None)
+    ap.add_argument('--width', type=int, default=1280)
+    ap.add_argument('--height', type=int, default=768)
+    ap.add_argument('--steps', type=int, default=50)
+    ap.add_argument('--guidance', type=float, default=4.0)
+    ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--ckpt', default=None,
+                    help='flux1-dev.safetensors path (optional)')
+    ap.add_argument('--depth', type=int, default=19)
+    ap.add_argument('--depth-single', type=int, default=38)
+    ap.add_argument('--profile', action='store_true')
+    ap.add_argument('--out', default='flux_latents.npy')
+    args = ap.parse_args()
+
+    ck = (load_config(args.chipmunk_config) if args.chipmunk_config
+          else ChipmunkConfig())
+    ck = ck.replace(steps=args.steps)
+
+    # round resolution so latent grid is patch/chunk aligned (reference
+    # cli.py:167-168 rounds to multiples of 128 pixels)
+    width = args.width - args.width % 128
+    height = args.height - args.height % 128
+    h_img, w_img = height // 16, width // 16
+
+    on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
+    model = FluxModelConfig(
+        depth=args.depth, depth_single_blocks=args.depth_single,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+    seq = model.txt_len + h_img * w_img
+    sp = FluxSparse.build(ck, model, seq, use_kernels=on_tpu)
+    sampler = FluxSampler(cfg=model, ck=ck, sp=sp, h_img=h_img, w_img=w_img,
+                          use_patchify=ck.patchify.is_enabled)
+
+    if args.ckpt:
+        from chipmunk_tpu.models.loaders import load_flux_safetensors
+        params = load_flux_safetensors(args.ckpt, model)
+    else:
+        print("no --ckpt given: using random weights (pipeline demo mode)")
+        params = init_flux_params(jax.random.PRNGKey(1), model)
+
+    key = jax.random.PRNGKey(args.seed)
+    ks = jax.random.split(key, 3)
+    img = jax.random.normal(ks[0], (1, h_img * w_img, 64), model.dtype)
+    # plug real T5/CLIP embeddings here; zeros keep the demo deterministic
+    txt = jnp.zeros((1, model.txt_len, 4096), model.dtype)
+    y = jnp.zeros((1, 768), model.dtype)
+    ts = get_schedule(args.steps, h_img * w_img)
+
+    timer = StepTimer()
+    with profile_region('./profiles', enabled=args.profile):
+        with timer.span('denoise'):
+            out = sampler.denoise(params, img, txt, y, ts,
+                                  guidance=args.guidance, key=ks[2])
+            jax.block_until_ready(out)
+    import numpy as np
+    np.save(args.out, np.asarray(out, np.float32))
+    timer.log()
+    print(f"latents -> {args.out}  ({width}x{height}, {args.steps} steps)")
+
+
+if __name__ == '__main__':
+    main()
