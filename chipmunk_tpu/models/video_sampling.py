@@ -1,0 +1,92 @@
+"""Video denoising loops: HunyuanVideo (guidance-distilled) and Wan2.1
+(classifier-free guidance, two model invocations per step).
+
+Rebuilds the reference sampling flows (hyvideo pipeline_hunyuan_video.py:
+962-1002 passing inference_step per call; wan text2video.py:239-252 cond +
+uncond per step with separate caches) on explicit state pytrees, with step
+caching as a host-level decision (skipped steps reuse the last prediction —
+reference hunyuan models.py:733-741, wan model.py:580-593).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..schedule import step_plan
+from .flux import FluxStep
+
+
+def hunyuan_denoise(model, params: Dict, latents: jnp.ndarray,
+                    txt: jnp.ndarray, y: jnp.ndarray,
+                    timesteps: jnp.ndarray,
+                    guidance: float = 6.0,
+                    key: Optional[jax.Array] = None,
+                    callback: Optional[Callable] = None) -> jnp.ndarray:
+    """Euler flow-matching loop for a HunyuanModel.  latents [B,C,T,H,W]."""
+    key = key or jax.random.PRNGKey(0)
+    B = latents.shape[0]
+    plan = step_plan(model.ck)
+    state = model.init_state(B)
+    pe = model.rope(B)
+    g = (jnp.full((B,), guidance, jnp.float32)
+         if model.cfg.guidance_embed else None)
+    pred = None
+    n = min(len(plan), timesteps.shape[0] - 1)
+    for i in range(n):
+        kind = plan[i]
+        t_curr, t_prev = timesteps[i], timesteps[i + 1]
+        if kind.skip and pred is not None:
+            latents = latents + (t_prev - t_curr) * pred
+            if callback:
+                callback(i, skipped=True)
+            continue
+        t_vec = jnp.full((B,), t_curr, jnp.float32)
+        pred, state = model.forward(params, latents, txt, t_vec, y, state,
+                                    FluxStep.of(kind, i), guidance=g,
+                                    key=jax.random.fold_in(key, i), pe=pe)
+        latents = latents + (t_prev - t_curr) * pred
+        if callback:
+            callback(i, skipped=False)
+    return latents
+
+
+def wan_denoise(model, params: Dict, latents: jnp.ndarray,
+                ctx_cond: jnp.ndarray, ctx_uncond: jnp.ndarray,
+                timesteps: jnp.ndarray, guide_scale: float = 5.0,
+                key: Optional[jax.Array] = None,
+                callback: Optional[Callable] = None) -> jnp.ndarray:
+    """CFG loop for a WanModel: cond + uncond invocations per step, each
+    with its own cache state (reference text2video.py:246-252; the
+    reference's invocation-buffer rotation, layer_storage.py:120-128, is
+    simply two explicit states here).  On skipped steps BOTH invocations'
+    predictions are reused (reference keeps two CPU step caches,
+    model.py:580-593)."""
+    key = key or jax.random.PRNGKey(0)
+    B = latents.shape[0]
+    plan = step_plan(model.ck)
+    st_c, st_u = model.init_cfg_states(B)
+    pe = model.rope(B)
+    pred = None
+    n = min(len(plan), timesteps.shape[0] - 1)
+    for i in range(n):
+        kind = plan[i]
+        t_curr, t_prev = timesteps[i], timesteps[i + 1]
+        if kind.skip and pred is not None:
+            latents = latents + (t_prev - t_curr) * pred
+            if callback:
+                callback(i, skipped=True)
+            continue
+        t_vec = jnp.full((B,), t_curr, jnp.float32)
+        step = FluxStep.of(kind, i)
+        k_i = jax.random.fold_in(key, i)
+        p_c, st_c = model.forward(params, latents, ctx_cond, t_vec, st_c,
+                                  step, key=k_i, pe=pe)
+        p_u, st_u = model.forward(params, latents, ctx_uncond, t_vec, st_u,
+                                  step, key=k_i, pe=pe)
+        pred = p_u + guide_scale * (p_c - p_u)
+        latents = latents + (t_prev - t_curr) * pred
+        if callback:
+            callback(i, skipped=False)
+    return latents

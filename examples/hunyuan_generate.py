@@ -1,0 +1,67 @@
+"""HunyuanVideo generation CLI (reference examples/hunyuan/sample_video.py
+flow: load chipmunk yml, build model, denoise with full-step schedule +
+step caching)."""
+import argparse
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
+import jax
+import jax.numpy as jnp
+
+from chipmunk_tpu.config import load_config, ChipmunkConfig
+from chipmunk_tpu.models.hunyuan import (HunyuanModelConfig, HunyuanModel,
+                                         init_hunyuan_params)
+from chipmunk_tpu.models.video_sampling import hunyuan_denoise
+from chipmunk_tpu.models.sampling import get_schedule
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--chipmunk-config', default=None)
+    ap.add_argument('--video-size', nargs=2, type=int, default=[720, 1280])
+    ap.add_argument('--video-length', type=int, default=129)
+    ap.add_argument('--steps', type=int, default=50)
+    ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--depth', type=int, default=20)
+    ap.add_argument('--depth-single', type=int, default=40)
+    ap.add_argument('--out', default='hunyuan_latents.npy')
+    args = ap.parse_args()
+
+    ck = (load_config(args.chipmunk_config) if args.chipmunk_config
+          else ChipmunkConfig())
+    ck = ck.replace(steps=args.steps)
+
+    h, w = args.video_size
+    lat_t = (args.video_length - 1) // 4 + 1
+    on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
+    cfg = HunyuanModelConfig(
+        latent_t=lat_t, latent_h=h // 8, latent_w=w // 8,
+        depth_double=args.depth, depth_single=args.depth_single,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+    model = HunyuanModel(cfg=cfg, ck=ck, use_kernels=on_tpu)
+
+    print("initializing params (pass real weights via loaders for "
+          "production use)")
+    params = init_hunyuan_params(jax.random.PRNGKey(1), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(args.seed), 3)
+    lat = jax.random.normal(ks[0], (1, cfg.in_channels, cfg.latent_t,
+                                    cfg.latent_h, cfg.latent_w), cfg.dtype)
+    txt = jnp.zeros((1, cfg.txt_len, cfg.text_dim), cfg.dtype)
+    y = jnp.zeros((1, cfg.vec_in_dim), cfg.dtype)
+    ts = get_schedule(args.steps, cfg.img_len, shift=False)
+
+    t0 = time.perf_counter()
+    out = hunyuan_denoise(model, params, lat, txt, y, ts, key=ks[2],
+                          callback=lambda i, skipped: print(
+                              f"step {i}{' (cached)' if skipped else ''}"))
+    jax.block_until_ready(out)
+    print(f"done in {time.perf_counter()-t0:.1f}s")
+    import numpy as np
+    np.save(args.out, np.asarray(out, np.float32))
+    print(f"latents -> {args.out}")
+
+
+if __name__ == '__main__':
+    main()
