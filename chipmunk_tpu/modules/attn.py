@@ -112,8 +112,11 @@ class SparseDiffAttn:
 
     def _colsum(self, q, k, v, prev_lse):
         if self.use_kernels:
+            # bq must equal the query-group size: colsum rows ARE the
+            # selection groups
             return kernels.dense_colsum_attn(
-                q, k, v, prev_lse, score_block=self.cfg.kv_block,
+                q, k, v, prev_lse, bq=self.cfg.mbm,
+                score_block=self.cfg.kv_block,
                 interpret=self.interpret)
         o, cs, lse = attn_ref.dense_colsum_attn_ref(q, k, v, prev_lse,
                                                     self.cfg.mbm)
