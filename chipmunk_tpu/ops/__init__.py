@@ -14,6 +14,8 @@ from .attn_ref import (
 )
 from .mlp_ref import block_mean, csp_mlp_ref, dense_mlp_ref
 from .indexing import (
+    merge_indices,
+    scatter_add,
     topk_mask,
     random_and_topk_mask,
     mask_to_indices,
@@ -28,16 +30,18 @@ from .voxel import (
     reverse_voxel_chunk_no_padding,
     get_local_voxel_indices,
     get_local_indices_with_text,
+    local_1d_window_mask,
 )
 
 __all__ = [
     'dense_attn_ref', 'dense_colsum_attn_ref', 'csp_attn_ref',
     'csp_block_attn_ref', 'attn_scale', 'LOG2E',
     'block_mean', 'csp_mlp_ref', 'dense_mlp_ref',
-    'topk_mask', 'random_and_topk_mask', 'mask_to_indices', 'topk_indices',
+    'merge_indices', 'scatter_add', 'topk_mask', 'random_and_topk_mask', 'mask_to_indices', 'topk_indices',
     'copy_indices', 'blockify_scores',
     'bitpack', 'bitunpack',
     'patchify', 'unpatchify', 'patchify_rope',
     'voxel_chunk_no_padding', 'reverse_voxel_chunk_no_padding',
     'get_local_voxel_indices', 'get_local_indices_with_text',
+    'local_1d_window_mask',
 ]

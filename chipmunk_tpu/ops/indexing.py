@@ -122,3 +122,44 @@ def copy_indices(new: jnp.ndarray, cache: jnp.ndarray,
 
     new/cache: [..., m, n]; sel_mask: bool broadcastable to them."""
     return jnp.where(sel_mask, new, cache)
+
+
+def merge_indices(a: jnp.ndarray, b: jnp.ndarray, n_cols: int,
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge two per-row index sets, dedup via a mask (reference
+    ops/voxel.py:182-204 merge_indices)."""
+    def to_mask(ix):
+        flat = ix.reshape(-1, ix.shape[-1])
+        m = jax.vmap(lambda r: jnp.zeros((n_cols,), jnp.bool_)
+                     .at[r].set(True, mode='drop'))(flat)
+        return m.reshape(*ix.shape[:-1], n_cols)
+
+    mask = to_mask(a) | to_mask(b)
+    return mask_to_indices(mask, 1)
+
+
+def scatter_add(packed: jnp.ndarray, unpacked: jnp.ndarray,
+                inds: jnp.ndarray, counts: jnp.ndarray,
+                block: int = 1) -> jnp.ndarray:
+    """Standalone scatter-add of a packed per-row-block delta into a full
+    buffer (reference csrc/indexed_io/scatter_add.cu; in the kernel path
+    this is fused into csp_mlp_mm1's output index map).
+
+    packed: [M*bm, jmax*block]; unpacked: [M*bm, n]; inds: [M, jmax] block
+    ids; counts: [M].  Returns unpacked + scattered packed."""
+    M, jmax = inds.shape
+    bm = packed.shape[0] // M
+    n = unpacked.shape[-1]
+    pos = jnp.arange(jmax)
+    valid = pos[None] < counts[:, None]
+
+    def row_block(pk, up, ix, ok):
+        # pk [bm, jmax*block] -> scatter block columns into up [bm, n]
+        pkb = pk.reshape(bm, jmax, block)
+        pkb = jnp.where(ok[None, :, None], pkb, 0.0)
+        tgt = (ix[:, None] * block + jnp.arange(block)[None, :]).reshape(-1)
+        return up.at[:, tgt].add(pkb.reshape(bm, -1), mode='drop')
+
+    return jax.vmap(row_block)(
+        packed.reshape(M, bm, -1), unpacked.reshape(M, bm, n), inds, valid
+    ).reshape(unpacked.shape)

@@ -195,3 +195,21 @@ def get_local_indices_with_text(
     counts = np.minimum(counts, seq)
     inds = np.argsort(~mask, axis=-1, kind='stable').astype(np.int32)
     return mask, inds, counts
+
+
+def local_1d_window_mask(vid_seqlen: int, total_seqlen: int,
+                         window_frac: float, qg: int = 128) -> np.ndarray:
+    """Static 1-D local window: each query group attends to a window of
+    ``window_frac * vid_seqlen`` tokens centered on it (reference
+    modules/attn.py:48-64 local_1d_window)."""
+    n_groups = -(-total_seqlen // qg)
+    mask = np.zeros((n_groups, total_seqlen), dtype=bool)
+    if window_frac <= 0:
+        return mask
+    w = int(window_frac * vid_seqlen)
+    for g in range(vid_seqlen // qg):
+        center = g * qg + qg // 2
+        lo = max(0, center - w // 2)
+        hi = min(vid_seqlen, center + w // 2)
+        mask[g, lo:hi] = True
+    return mask

@@ -1,0 +1,64 @@
+"""Wan2.1 text-to-video CLI (reference examples/wan/generate.py flow:
+chipmunk yml + CFG generation with two model invocations per step,
+text2video.py:239-252)."""
+import argparse
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
+import jax
+import jax.numpy as jnp
+
+from chipmunk_tpu.config import load_config, ChipmunkConfig, config_from_dict
+from chipmunk_tpu.models.wan import WanModelConfig, WanModel, init_wan_params
+from chipmunk_tpu.models.video_sampling import wan_denoise
+from chipmunk_tpu.models.sampling import get_schedule
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--chipmunk-config', default=None)
+    ap.add_argument('--size', nargs=2, type=int, default=[480, 832])
+    ap.add_argument('--frames', type=int, default=81)
+    ap.add_argument('--steps', type=int, default=50)
+    ap.add_argument('--guide-scale', type=float, default=5.0)
+    ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--layers', type=int, default=30)
+    ap.add_argument('--out', default='wan_latents.npy')
+    args = ap.parse_args()
+
+    ck = (load_config(args.chipmunk_config) if args.chipmunk_config
+          else config_from_dict(
+              {'num_model_invocations_per_inference_step': 2}))
+    ck = ck.replace(steps=args.steps)
+
+    h, w = args.size
+    on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
+    cfg = WanModelConfig(
+        latent_t=(args.frames - 1) // 4 + 1, latent_h=h // 8,
+        latent_w=w // 8, num_layers=args.layers,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+    model = WanModel(cfg=cfg, ck=ck, use_kernels=on_tpu)
+
+    params = init_wan_params(jax.random.PRNGKey(1), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(args.seed), 4)
+    lat = jax.random.normal(ks[0], (1, cfg.in_channels, cfg.latent_t,
+                                    cfg.latent_h, cfg.latent_w), cfg.dtype)
+    # plug real T5 embeddings (cond prompt / negative prompt) here
+    ctx_c = jnp.zeros((1, cfg.txt_len, cfg.text_dim), cfg.dtype)
+    ctx_u = jnp.zeros((1, cfg.txt_len, cfg.text_dim), cfg.dtype)
+    ts = get_schedule(args.steps, cfg.seq_len, shift=False)
+
+    t0 = time.perf_counter()
+    out = wan_denoise(model, params, lat, ctx_c, ctx_u, ts,
+                      guide_scale=args.guide_scale, key=ks[3])
+    jax.block_until_ready(out)
+    print(f"done in {time.perf_counter()-t0:.1f}s")
+    import numpy as np
+    np.save(args.out, np.asarray(out, np.float32))
+    print(f"latents -> {args.out}")
+
+
+if __name__ == '__main__':
+    main()

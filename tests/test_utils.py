@@ -48,3 +48,15 @@ def test_step_timer():
         pass
     s = t.summary()
     assert s['a']['count'] == 2
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from chipmunk_tpu.utils.checkpoint import save_pytree, load_pytree
+    tree = {'a': jnp.arange(6.0).reshape(2, 3),
+            'b': [jnp.ones((4,)), {'c': jnp.zeros((2, 2), jnp.int32)}]}
+    p = str(tmp_path / "state.npz")
+    save_pytree(p, tree)
+    out = load_pytree(p, tree)
+    np.testing.assert_array_equal(np.asarray(out['a']),
+                                  np.asarray(tree['a']))
+    assert out['b'][1]['c'].dtype == jnp.int32
