@@ -61,7 +61,8 @@ def run_e2e():
                  'first_n_dense_layers': 1, 'recompute_mask': False,
                  'should_compress_indices': False},
         'mlp': {'top_keys': 0.3, 'full_step_every': 10,
-                'block_mask_cache': 2, 'first_n_dense_layers': 1},
+                'block_mask_cache': 2, 'first_n_dense_layers': 1,
+                'bm': 512},
         'step_caching': {'is_enabled': True},
     })
     dense_ck = config_from_dict({

@@ -47,7 +47,11 @@ class MlpConfig:
     first_n_dense_layers: int = 2
     # kernel-coupled (reference config.py:22-25)
     counts_multiple_of: int = 256
-    bm: int = 128           # token block size sharing one neuron set ([128,1])
+    # token block sharing one neuron set ([bm,1] pattern).  128 = reference
+    # default; large values (512-1024) are the TPU perf lever: weight
+    # gathers amortize over the whole VMEM-resident token chunk (see
+    # kernels/csp_mlp.py).  Must divide the (padded) token count.
+    bm: int = 128
     mbm: int = 128          # block-mean group size
     # TPU-only: neuron gather granularity (neurons per gathered weight
     # block).  128 = one MXU tile per gather (the BlockSpec kernel path

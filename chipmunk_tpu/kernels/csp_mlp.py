@@ -38,7 +38,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .csp_attention import pad_block_indices
 
-BM = 128  # token block ([128,1] pattern, reference mlp.bm)
+# Default token block sharing one neuron set (the reference's mlp.bm key,
+# [bm,1] sparsity pattern).  Large bm is the TPU perf lever: the x chunk
+# stays VMEM-resident and each gathered weight block is read once per
+# chunk instead of once per 128 tokens — at bm=128, per-token-block weight
+# gathers re-read ~(T/bm * keep) times the dense weight bytes and the
+# kernel is bandwidth-bound; at bm>=512 it is MXU-bound like the reference.
+DEFAULT_BM = 128
+MM2_COUT_BLOCK = 1024
 
 
 def _mm1_kernel(inds_ref, counts_ref,           # scalar prefetch (SMEM)
@@ -68,25 +75,26 @@ def _mm1_kernel(inds_ref, counts_ref,           # scalar prefetch (SMEM)
         packed_ref[:] = jnp.zeros_like(packed_ref)
 
 
-@functools.partial(jax.jit, static_argnames=('bn', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('bn', 'bm', 'interpret'))
 def csp_mlp_mm1(x: jnp.ndarray, w1t: jnp.ndarray, b1: jnp.ndarray,
                 act_cache: jnp.ndarray,
                 inds: jnp.ndarray, counts: jnp.ndarray,
-                bn: int = 128, interpret: bool = False,
+                bn: int = 128, bm: int = DEFAULT_BM,
+                interpret: bool = False,
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Stage-1 sparse MLP.
 
     x: [T, C]; w1t: [N, C] (fc1 weight, output-major); b1: [N];
     act_cache: [T, N]; inds: int32 [M, jmax] neuron-block ids;
-    counts: int32 [M];  M = T // 128.
+    counts: int32 [M];  M = T // bm.
     Returns (packed [T, jmax*bn] delta, new act_cache [T, N]).
     act_cache is donated/aliased into the new cache.
     """
     T, C = x.shape
     N = w1t.shape[0]
-    assert T % BM == 0 and N % bn == 0
+    assert T % bm == 0 and N % bn == 0
     M, jmax = inds.shape
-    assert M == T // BM
+    assert M == T // bm, (M, T, bm)
     counts = jnp.clip(counts, 1, jmax).astype(jnp.int32)
     inds = pad_block_indices(inds, counts).astype(jnp.int32)
     b1r = b1.reshape(N // bn, 1, bn)
@@ -95,14 +103,14 @@ def csp_mlp_mm1(x: jnp.ndarray, w1t: jnp.ndarray, b1: jnp.ndarray,
         num_scalar_prefetch=2,
         grid=(M, jmax),
         in_specs=[
-            pl.BlockSpec((BM, C), lambda m, j, I, c: (m, 0)),
+            pl.BlockSpec((bm, C), lambda m, j, I, c: (m, 0)),
             pl.BlockSpec((bn, C), lambda m, j, I, c: (I[m, j], 0)),
             pl.BlockSpec((1, 1, bn), lambda m, j, I, c: (I[m, j], 0, 0)),
-            pl.BlockSpec((BM, bn), lambda m, j, I, c: (m, I[m, j])),
+            pl.BlockSpec((bm, bn), lambda m, j, I, c: (m, I[m, j])),
         ],
         out_specs=[
-            pl.BlockSpec((BM, bn), lambda m, j, I, c: (m, j)),
-            pl.BlockSpec((BM, bn), lambda m, j, I, c: (m, I[m, j])),
+            pl.BlockSpec((bm, bn), lambda m, j, I, c: (m, j)),
+            pl.BlockSpec((bm, bn), lambda m, j, I, c: (m, I[m, j])),
         ],
     )
     packed, new_cache = pl.pallas_call(
@@ -122,8 +130,8 @@ def csp_mlp_mm1(x: jnp.ndarray, w1t: jnp.ndarray, b1: jnp.ndarray,
 def _mm2_kernel(inds_ref, counts_ref,
                 packed_ref, w2_ref, outin_ref,
                 out_ref, acc_ref):
-    m, j = pl.program_id(0), pl.program_id(1)
-    nj = pl.num_programs(1)
+    m, co, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    nj = pl.num_programs(2)
     valid = j < counts_ref[m]
 
     @pl.when(j == 0)
@@ -141,32 +149,36 @@ def _mm2_kernel(inds_ref, counts_ref,
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=('bn', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('bn', 'bm', 'interpret'))
 def csp_mlp_mm2(packed: jnp.ndarray, w2: jnp.ndarray, out_cache: jnp.ndarray,
                 inds: jnp.ndarray, counts: jnp.ndarray,
-                bn: int = 128, interpret: bool = False) -> jnp.ndarray:
+                bn: int = 128, bm: int = DEFAULT_BM,
+                interpret: bool = False) -> jnp.ndarray:
     """Stage-2 sparse MLP: out_cache += packed @ w2[selected rows].
 
     packed: [T, jmax*bn]; w2: [N, Cout]; out_cache: [T, Cout] (donated).
-    Returns the updated out_cache.
+    The output dim is blocked (MM2_COUT_BLOCK) so the fp32 accumulator fits
+    VMEM at large bm.  Returns the updated out_cache.
     """
     T, _ = packed.shape
     N, Cout = w2.shape
     M, jmax = inds.shape
-    assert M == T // BM
+    assert M == T // bm
     counts = jnp.clip(counts, 1, jmax).astype(jnp.int32)
     inds = pad_block_indices(inds, counts).astype(jnp.int32)
+    cb = min(MM2_COUT_BLOCK, Cout)
+    assert Cout % cb == 0
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(M, jmax),
+        grid=(M, Cout // cb, jmax),
         in_specs=[
-            pl.BlockSpec((BM, bn), lambda m, j, I, c: (m, j)),
-            pl.BlockSpec((bn, Cout), lambda m, j, I, c: (I[m, j], 0)),
-            pl.BlockSpec((BM, Cout), lambda m, j, I, c: (m, 0)),
+            pl.BlockSpec((bm, bn), lambda m, co, j, I, c: (m, j)),
+            pl.BlockSpec((bn, cb), lambda m, co, j, I, c: (I[m, j], co)),
+            pl.BlockSpec((bm, cb), lambda m, co, j, I, c: (m, co)),
         ],
-        out_specs=pl.BlockSpec((BM, Cout), lambda m, j, I, c: (m, 0)),
-        scratch_shapes=[pltpu.VMEM((BM, Cout), jnp.float32)],
+        out_specs=pl.BlockSpec((bm, cb), lambda m, co, j, I, c: (m, co)),
+        scratch_shapes=[pltpu.VMEM((bm, cb), jnp.float32)],
     )
     out = pl.pallas_call(
         _mm2_kernel,
@@ -181,12 +193,13 @@ def csp_mlp_mm2(packed: jnp.ndarray, w2: jnp.ndarray, out_cache: jnp.ndarray,
 def csp_mlp(x: jnp.ndarray, w1t: jnp.ndarray, b1: jnp.ndarray,
             w2: jnp.ndarray, act_cache: jnp.ndarray, out_cache: jnp.ndarray,
             inds: jnp.ndarray, counts: jnp.ndarray,
-            bn: int = 128, interpret: bool = False,
+            bn: int = 128, bm: int = DEFAULT_BM,
+            interpret: bool = False,
             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full sparse MLP step (reference ops/mlp.py run_e2e:63-92).
     Returns (new_out_cache, new_act_cache)."""
     packed, new_cache = csp_mlp_mm1(x, w1t, b1, act_cache, inds, counts,
-                                    bn=bn, interpret=interpret)
+                                    bn=bn, bm=bm, interpret=interpret)
     new_out = csp_mlp_mm2(packed, w2, out_cache, inds, counts,
-                          bn=bn, interpret=interpret)
+                          bn=bn, bm=bm, interpret=interpret)
     return new_out, new_cache

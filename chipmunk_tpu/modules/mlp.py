@@ -57,7 +57,9 @@ class SparseDiffMlp:
     def build(cfg: MlpConfig, n_tokens: int, d_model: int, d_hidden: int,
               use_kernels: bool = True,
               interpret: bool = False) -> "SparseDiffMlp":
-        assert n_tokens % cfg.bm == 0
+        # tokens are padded internally to a multiple of bm (large bm is the
+        # TPU perf lever; padding wastes < bm tokens of compute)
+        n_tokens = -(-n_tokens // cfg.bm) * cfg.bm
         assert d_hidden % cfg.neuron_block == 0
         nb = d_hidden // cfg.neuron_block
         keep = 1.0 - (1.0 - cfg.top_keys)  # = top_keys fraction kept
@@ -80,12 +82,19 @@ class SparseDiffMlp:
         return _gelu_tanh(mid.astype(jnp.float32)).astype(x.dtype) @ w2 \
             + b2.astype(x.dtype)
 
+    def _pad(self, x):
+        t = x.shape[0]
+        if t == self.n_tokens:
+            return x, t
+        return jnp.pad(x, ((0, self.n_tokens - t), (0, 0))), t
+
     def full_step(self, x, w1t, b1, w2, b2, state: MlpState
                   ) -> Tuple[jnp.ndarray, MlpState]:
+        x, t = self._pad(x)
         mid = x @ w1t.T + b1.astype(x.dtype)
         pa = _gelu_tanh(mid.astype(jnp.float32)).astype(x.dtype)
         out = pa @ w2 + b2.astype(x.dtype)
-        return out, state._replace(
+        return out[:t], state._replace(
             out_cache=out,
             act_cache=pa,
             bm_mid=block_mean(mid[None], self.cfg.mbm)[0])
@@ -120,6 +129,7 @@ class SparseDiffMlp:
     def sparse_step(self, x, w1t, b1, w2, state: MlpState, *,
                     recompute: bool, key: Optional[jax.Array] = None
                     ) -> Tuple[jnp.ndarray, MlpState]:
+        x, t = self._pad(x)
         if recompute:
             assert key is not None
             state = self._recompute_indices(x, w1t, b1, state, key)
@@ -127,7 +137,7 @@ class SparseDiffMlp:
             new_out, new_act = kernels.csp_mlp(
                 x, w1t, b1, w2, state.act_cache, state.out_cache,
                 state.inds, state.counts, bn=self.cfg.neuron_block,
-                interpret=self.interpret)
+                bm=self.cfg.bm, interpret=self.interpret)
         else:
             bn = self.cfg.neuron_block
             tinds = (state.inds[..., None] * bn
@@ -136,7 +146,8 @@ class SparseDiffMlp:
                 x, w1t.T, b1, w2, tinds.astype(jnp.int32), state.counts * bn,
                 state.act_cache, state.out_cache, bm=self.cfg.bm,
                 act=_gelu_tanh)
-        return new_out, state._replace(out_cache=new_out, act_cache=new_act)
+        return new_out[:t], state._replace(out_cache=new_out,
+                                           act_cache=new_act)
 
     # ------------------------------------------------------------ frontend
     def __call__(self, x, w1t, b1, w2, b2, state: MlpState, *,
