@@ -166,73 +166,78 @@ def _csp_hbm_kernel(inds_ref, counts_ref,         # SMEM
                     q_ref,                         # VMEM [1, qg, D]
                     k_hbm, v_hbm,                  # ANY  [BH, Sk, D]
                     o_ref,
-                    kt_ref, vt_ref,                # VMEM [2, TILE, D]
-                    acc_ref, m_ref, l_ref,
-                    sems,                          # DMA [2, 2, per_tile]
-                    *, tau: float, kv_block: int, n_tiles: int, qg: int):
+                    kg_ref, vg_ref,                # [2, JT, D] gather scratch
+                    sems,                          # DMA [2, 2, jmax]
+                    *, tau: float, kv_block: int, jmax: int, qg: int):
+    """Video-scale path: K/V stay in HBM.  Same one-shot gathered attention
+    as the VMEM mode, but software-pipelined ACROSS grid programs: scratch
+    persists between programs, so program (b, g) waits on the gather that
+    program (b, g-1) started and prefetches group g+1 — gathers run at full
+    HBM bandwidth underneath the previous group's matmuls (the reference
+    hides the same latency with TMA-prefetched indices + cp.async,
+    csp_attn.cu:228-243)."""
     b, g = pl.program_id(0), pl.program_id(1)
-    per_tile = COMPUTE_TILE // kv_block
+    n_groups = pl.num_programs(1)
+
+    def group_dmas(gg, slot):
+        count = counts_ref[0, 0, gg]
+        for t in range(jmax):
+            idx = inds_ref[0, gg, t]
+            src = pl.ds(idx * kv_block, kv_block)
+            dst = pl.ds(t * kv_block, kv_block)
+            yield (t < count,
+                   pltpu.make_async_copy(k_hbm.at[b, src, :],
+                                         kg_ref.at[slot, dst, :],
+                                         sems.at[0, slot, t]),
+                   pltpu.make_async_copy(v_hbm.at[b, src, :],
+                                         vg_ref.at[slot, dst, :],
+                                         sems.at[1, slot, t]))
+
+    def start_group(gg, slot):
+        for live, kd, vd in group_dmas(gg, slot):
+            @pl.when(live)
+            def _():
+                kd.start()
+                vd.start()
+
+    def wait_group(gg, slot):
+        for live, kd, vd in group_dmas(gg, slot):
+            @pl.when(live)
+            def _():
+                kd.wait()
+                vd.wait()
+
+    @pl.when(jnp.logical_and(b == 0, g == 0))
+    def _init_scratch():
+        # only truly uninitialized memory is dangerous (NaN x 0 = NaN in
+        # the PV matmul); later stale-but-finite rows are masked out
+        kg_ref[:] = jnp.zeros_like(kg_ref)
+        vg_ref[:] = jnp.zeros_like(vg_ref)
+
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _first():
+        start_group(0, 0)
+
+    @pl.when(g + 1 < n_groups)
+    def _prefetch():
+        start_group(g + 1, 1 - slot)
+
+    wait_group(g, slot)
     count = counts_ref[0, 0, g]
-    live_tiles = (count + per_tile - 1) // per_tile
-
-    def tile_dma(jc, slot, t):
-        idx = inds_ref[0, g, jc * per_tile + t]
-        kd = pltpu.make_async_copy(
-            k_hbm.at[b, pl.ds(idx * kv_block, kv_block), :],
-            kt_ref.at[slot, pl.ds(t * kv_block, kv_block), :],
-            sems.at[0, slot, t])
-        vd = pltpu.make_async_copy(
-            v_hbm.at[b, pl.ds(idx * kv_block, kv_block), :],
-            vt_ref.at[slot, pl.ds(t * kv_block, kv_block), :],
-            sems.at[1, slot, t])
-        return kd, vd
-
-    def start_tile(jc, slot):
-        for t in range(per_tile):
-            kd, vd = tile_dma(jc, slot, t)
-            kd.start()
-            vd.start()
-
-    def wait_tile(jc, slot):
-        for t in range(per_tile):
-            kd, vd = tile_dma(jc, slot, t)
-            kd.wait()
-            vd.wait()
-
-    acc_ref[:] = jnp.zeros_like(acc_ref)
-    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-    l_ref[:] = jnp.zeros_like(l_ref)
-
-    @pl.when(live_tiles > 0)
-    def _():
-        start_tile(0, 0)
-
-    q = q_ref[0]
-
-    def body(jc, _):
-        slot = jax.lax.rem(jc, 2)
-
-        @pl.when(jc + 1 < live_tiles)
-        def _prefetch():
-            start_tile(jc + 1, 1 - slot)
-
-        @pl.when(jc < live_tiles)
-        def _compute():
-            wait_tile(jc, slot)
-            s = jax.lax.dot_general(q, kt_ref[slot], (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32) * tau
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            valid = (jc * per_tile + col // kv_block) < count
-            s = jnp.where(valid, s, NEG_INF)
-            _flash_update(s, m_ref, l_ref, acc_ref,
-                          [(0, COMPUTE_TILE, vt_ref[slot])], vt_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, n_tiles, body, 0)
-
-    l = l_ref[:]
-    l_safe = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+    s = jax.lax.dot_general(q_ref[0], kg_ref[slot], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * tau
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col // kv_block < count, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(p.astype(vg_ref.dtype), vg_ref[slot],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    l = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -254,16 +259,8 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     assert COMPUTE_TILE % kv_block == 0, kv_block
     G = Sq // qg
     jmax = block_inds.shape[-1]
-    per_tile = COMPUTE_TILE // kv_block
-    jpad = (-jmax) % per_tile
     block_counts = jnp.minimum(block_counts, jmax)
     block_inds = pad_block_indices(block_inds, block_counts)
-    if jpad:
-        block_inds = jnp.concatenate(
-            [block_inds,
-             jnp.repeat(block_inds[..., -1:], jpad, axis=-1)], axis=-1)
-        jmax += jpad
-    n_tiles = jmax // per_tile
 
     if mode == 'auto':
         kv_bytes = 2 * Sk * D * k.dtype.itemsize
@@ -275,8 +272,7 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     indsf = block_inds.reshape(B * H, G, jmax)
     countsf = block_counts.reshape(B * H, 1, G).astype(jnp.int32)
 
-    common = dict(tau=attn_scale(D), kv_block=kv_block, n_tiles=n_tiles,
-                  qg=qg)
+    common = dict(tau=attn_scale(D), kv_block=kv_block, qg=qg)
     smem_specs = [
         pl.BlockSpec((1, G, jmax), lambda b, g: (b, 0, 0),
                      memory_space=pltpu.SMEM),
@@ -309,7 +305,8 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         )(indsf, countsf, qf, kf, vf)
     else:
         o = pl.pallas_call(
-            functools.partial(_csp_hbm_kernel, **common),
+            functools.partial(_csp_hbm_kernel, tau=common['tau'],
+                              kv_block=kv_block, jmax=jmax, qg=qg),
             grid=(B * H, G),
             in_specs=smem_specs + [
                 pl.BlockSpec((1, qg, D), lambda b, g: (b, g, 0)),
@@ -319,12 +316,9 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             out_specs=pl.BlockSpec((1, qg, D), lambda b, g: (b, g, 0)),
             out_shape=jax.ShapeDtypeStruct((B * H, Sq, D), q.dtype),
             scratch_shapes=[
-                pltpu.VMEM((2, COMPUTE_TILE, D), k.dtype),
-                pltpu.VMEM((2, COMPUTE_TILE, D), v.dtype),
-                pltpu.VMEM((qg, D), jnp.float32),
-                pltpu.VMEM((qg, 1), jnp.float32),
-                pltpu.VMEM((qg, 1), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, 2, per_tile)),
+                pltpu.VMEM((2, jmax * kv_block, D), k.dtype),
+                pltpu.VMEM((2, jmax * kv_block, D), v.dtype),
+                pltpu.SemaphoreType.DMA((2, 2, jmax)),
             ],
             interpret=interpret,
         )(indsf, countsf, qf, kf, vf)
