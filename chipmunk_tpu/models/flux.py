@@ -158,7 +158,7 @@ class FluxSparse:
 
     @staticmethod
     def build(ck: ChipmunkConfig, model: FluxModelConfig, seq_len: int,
-              static_mask_tokens=None,
+              static_mask_tokens=None, batch: int = 1,
               use_kernels: bool = True, interpret: bool = False
               ) -> "FluxSparse":
         img_len = seq_len - model.txt_len
@@ -166,12 +166,15 @@ class FluxSparse:
                                       static_mask_tokens=static_mask_tokens,
                                       use_kernels=use_kernels,
                                       interpret=interpret)
-        mlp_d = SparseDiffMlp.build(ck.mlp, img_len, model.hidden_size,
-                                    model.mlp_hidden,
+        # MLP caches fold batch into the token axis ([B*T, ...]): each batch
+        # element owns its token blocks (the reference asserts B==1,
+        # mlp.py:39 — folding generalizes it)
+        mlp_d = SparseDiffMlp.build(ck.mlp, batch * img_len,
+                                    model.hidden_size, model.mlp_hidden,
                                     use_kernels=use_kernels,
                                     interpret=interpret)
-        mlp_s = SparseDiffMlp.build(ck.mlp, seq_len, model.hidden_size,
-                                    model.mlp_hidden,
+        mlp_s = SparseDiffMlp.build(ck.mlp, batch * seq_len,
+                                    model.hidden_size, model.mlp_hidden,
                                     use_kernels=use_kernels,
                                     interpret=interpret)
         nd_a = ck.attn.first_n_dense_layers
@@ -340,10 +343,12 @@ def flux_forward(params: Dict, cfg: FluxModelConfig, sp: FluxSparse,
         # img MLP (sparse), txt MLP (dense — small)
         img_mod2 = (1 + it1[1]) * layernorm(img) + it1[0]
         mlp_dense = idx < sp.n_dense_mlp_double
-        mo, mst2 = _mlp_call(sp.mlp_d, img_mod2[0], p['img_w1t'], p['img_b1'],
+        mo, mst2 = _mlp_call(sp.mlp_d,
+                             img_mod2.reshape(-1, img_mod2.shape[-1]),
+                             p['img_w1t'], p['img_b1'],
                              p['img_w2'], p['img_b2'], mst, step, mlp_dense,
                              jax.random.fold_in(lkey, 1))
-        img = img + it1[2] * mo[None]
+        img = img + it1[2] * mo.reshape(img.shape)
 
         txt_mod2 = (1 + tt1[1]) * layernorm(txt) + tt1[0]
         tmid = txt_mod2 @ p['txt_w1t'].T + p['txt_b1'].astype(dt)
@@ -383,10 +388,11 @@ def flux_forward(params: Dict, cfg: FluxModelConfig, sp: FluxSparse,
         attn_out = linear(p['o_proj'], _merge_heads(o))
 
         mlp_dense = idx < sp.n_dense_mlp_single
-        mo, mst2 = _mlp_call(sp.mlp_s, x_mod[0], p['w1t'], p['b1'], p['w2'],
+        mo, mst2 = _mlp_call(sp.mlp_s, x_mod.reshape(-1, x_mod.shape[-1]),
+                             p['w1t'], p['b1'], p['w2'],
                              jnp.zeros((cfg.hidden_size,), dt), mst, step,
                              mlp_dense, jax.random.fold_in(lkey, 1))
-        x = x + gate * (attn_out + mo[None])
+        x = x + gate * (attn_out + mo.reshape(x.shape))
         return x, (ast2, mst2)
 
     idx_s = jnp.arange(cfg.depth_single_blocks)

@@ -137,6 +137,7 @@ class WanModel:
     ck: ChipmunkConfig
     use_kernels: bool = True
     interpret: bool = False
+    batch: int = 1           # MLP caches fold batch into the token axis
 
     def __post_init__(self):
         t, h, w = self.cfg.grid
@@ -159,7 +160,8 @@ class WanModel:
             static_mask_tokens=jnp.asarray(mask),
             use_kernels=self.use_kernels, interpret=self.interpret)
         self.mlp_mod = SparseDiffMlp.build(
-            self.ck.mlp, self.seq_padded, self.cfg.dim, self.cfg.ffn_dim,
+            self.ck.mlp, self.batch * self.seq_padded, self.cfg.dim,
+            self.cfg.ffn_dim,
             use_kernels=self.use_kernels, interpret=self.interpret)
 
     # ------------------------------------------------------------ tokens
@@ -267,10 +269,12 @@ class WanModel:
             # FFN (sparse)
             xn2 = (1 + mod[:, 4]) * layernorm(x) + mod[:, 3]
             mlp_dense = idx < self.ck.mlp.first_n_dense_layers
-            mo, mst2 = _mlp_call(self.mlp_mod, xn2[0], p['w1t'], p['b1'],
+            mo, mst2 = _mlp_call(self.mlp_mod,
+                                 xn2.reshape(-1, xn2.shape[-1]),
+                                 p['w1t'], p['b1'],
                                  p['w2'], p['b2'], mst, step, mlp_dense,
                                  jax.random.fold_in(lkey, 1))
-            x = x + mod[:, 5] * mo[None]
+            x = x + mod[:, 5] * mo.reshape(x.shape)
             return x, (ast2, mst2)
 
         idx = jnp.arange(cfg.num_layers)
