@@ -87,3 +87,62 @@ def test_flux_patchify_consistency():
     out_n = sampler_n.denoise(params, img, txt, y, ts)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_n),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_flux_batch2_matches_two_singles():
+    """MLP caches fold batch into the token axis: a B=2 sparse run must
+    equal two independent B=1 runs (CFG correctness)."""
+    import jax
+    from chipmunk_tpu.models.flux import flux_forward, FluxStep, FluxSparse
+    from chipmunk_tpu.models import init_flux_params, FluxModelConfig
+    from chipmunk_tpu.config import config_from_dict
+
+    model = FluxModelConfig(
+        in_channels=16, vec_in_dim=32, context_in_dim=32, hidden_size=128,
+        num_heads=2, mlp_ratio=4.0, depth=1, depth_single_blocks=1,
+        axes_dim=(16, 24, 24), guidance_embed=False, txt_len=128,
+        dtype=jnp.float32)
+    ck = config_from_dict({
+        'attn': {'top_keys': 0.4, 'kv_block': 32, 'counts_multiple_of': 32,
+                 'first_n_dense_layers': 0, 'should_compress_indices': False},
+        'mlp': {'top_keys': 0.5, 'neuron_block': 32, 'counts_multiple_of': 32,
+                'first_n_dense_layers': 0, 'random_keys': 0.0},
+    })
+    h_img, w_img = 16, 24
+    seq = model.txt_len + h_img * w_img
+    params = init_flux_params(jax.random.PRNGKey(0), model)
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    img = jax.random.normal(ks[0], (2, h_img * w_img, 16))
+    txt = jax.random.normal(ks[1], (2, 128, 32))
+    y = jax.random.normal(ks[2], (2, 32))
+    t = jnp.full((2,), 0.7)
+    from chipmunk_tpu.models.flux import flux_rope_ids
+    from chipmunk_tpu.models.layers import build_rope
+    pe2 = build_rope(flux_rope_ids(2, h_img, w_img, 128), model.axes_dim,
+                     model.theta)
+    pe1 = build_rope(flux_rope_ids(1, h_img, w_img, 128), model.axes_dim,
+                     model.theta)
+
+    def run(img, txt, y, t, B):
+        sp = FluxSparse.build(ck, model, seq, batch=B, use_kernels=False)
+        st = sp.init_state(model, B)
+        key = jax.random.PRNGKey(7)
+        # step 0 full, step 1 colsum, step 2 sparse
+        p0, st = flux_forward(params, model, sp, img, txt, t, y,
+                              pe2 if B == 2 else pe1, st,
+                              FluxStep(0, True, True, False, False), key=key)
+        p1, st = flux_forward(params, model, sp, img, txt, t, y,
+                              pe2 if B == 2 else pe1, st,
+                              FluxStep(1, True, False, True, False), key=key)
+        p2, st = flux_forward(params, model, sp, img, txt, t, y,
+                              pe2 if B == 2 else pe1, st,
+                              FluxStep(2, False, False, False, True), key=key)
+        return p2
+
+    out2 = run(img, txt, y, t, 2)
+    outa = run(img[:1], txt[:1], y[:1], t[:1], 1)
+    outb = run(img[1:], txt[1:], y[1:], t[1:], 1)
+    np.testing.assert_allclose(np.asarray(out2[0]), np.asarray(outa[0]),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(out2[1]), np.asarray(outb[0]),
+                               atol=2e-4, rtol=2e-4)
