@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops.attn_ref import attn_scale
 
 NEG_INF = -1.0e30
-COMPUTE_TILE = 128   # KV tokens per MXU step (gathers per tile = 128/kv_block)
+MAX_KV_BLOCK = 128   # gather granule upper bound (one MXU tile)
 # beyond this many KV bytes per head, fall back to the HBM-gather mode
 VMEM_KV_BUDGET = 10 * 1024 * 1024
 
@@ -58,24 +58,6 @@ def pad_block_indices(inds: jnp.ndarray, counts: jnp.ndarray) -> jnp.ndarray:
     last = jnp.take_along_axis(
         inds, jnp.maximum(counts - 1, 0)[..., None].astype(jnp.int32), axis=-1)
     return jnp.where(pos < counts[..., None], inds, last)
-
-
-def _flash_update(s, m_ref, l_ref, acc_ref, vparts, p_dtype):
-    """One online-softmax update given scores s [qg, TILE] and a list of
-    (col_offset, width, v_tile [width, D]) value parts."""
-    m_prev = m_ref[:]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp2(s - m_new)
-    alpha = jnp.exp2(m_prev - m_new)
-    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    m_ref[:] = m_new
-    pv = None
-    for (off, width, vt) in vparts:
-        part = jax.lax.dot_general(
-            p[:, off:off + width].astype(p_dtype), vt,
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        pv = part if pv is None else pv + part
-    acc_ref[:] = acc_ref[:] * alpha + pv
 
 
 # ---------------------------------------------------------------- VMEM mode
@@ -256,7 +238,7 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     Sk = k.shape[-2]
     assert Sq % qg == 0, (Sq, qg)
     assert Sk % kv_block == 0, (Sk, kv_block)
-    assert COMPUTE_TILE % kv_block == 0, kv_block
+    assert MAX_KV_BLOCK % kv_block == 0, kv_block
     G = Sq // qg
     jmax = block_inds.shape[-1]
     block_counts = jnp.minimum(block_counts, jmax)
