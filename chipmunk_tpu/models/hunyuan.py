@@ -31,7 +31,7 @@ import numpy as np
 
 from ..config import ChipmunkConfig
 from ..ops.voxel import (voxel_order, inverse_voxel_order,
-                         get_local_indices_with_text)
+                         get_local_indices_with_text, local_1d_window_mask)
 from .flux import (FluxModelConfig, FluxSparse, FluxState, FluxStep,
                    flux_forward, init_flux_params)
 from .layers import (build_rope, init_linear, init_mlp_embedder, linear,
@@ -157,6 +157,12 @@ class HunyuanModel:
             voxel_shape=self.cfg.voxel_shape,
             local_shape=(lv, lv, lv), rk=0.0,
             kv_tile_size=self.ck.attn.counts_multiple_of)
+        if self.ck.attn.local_1d_window > 0:
+            # 1-D window over the voxel-ordered sequence (reference
+            # initialize_static_mask, modules/attn.py:48-64)
+            mask |= local_1d_window_mask(
+                self.cfg.img_len, mask.shape[1],
+                self.ck.attn.local_1d_window, qg=128)[:mask.shape[0]]
         seq = self.cfg.seq_len
         pad = (-seq) % 128
         self.seq_padded = seq + pad

@@ -95,3 +95,16 @@ def test_hunyuan_sparse_close_to_dense():
     denom = np.abs(np.asarray(lat_d)).mean()
     rel = np.abs(np.asarray(lat_s) - np.asarray(lat_d)).mean() / denom
     assert rel < 0.2, rel
+
+
+def test_hunyuan_local_1d_window_mask():
+    import dataclasses
+    m = tiny_hunyuan(local_voxels=0)
+    ck2 = m.ck.replace(attn=dataclasses.replace(m.ck.attn,
+                                                local_1d_window=0.25))
+    from chipmunk_tpu.models.hunyuan import HunyuanModel
+    m2 = HunyuanModel(cfg=m.cfg, ck=ck2, use_kernels=False)
+    # image query groups gained a local window beyond text columns
+    extra = m2.static_mask[:m.cfg.img_len // 128, :m.cfg.img_len].sum() \
+        - m.static_mask[:m.cfg.img_len // 128, :m.cfg.img_len].sum()
+    assert extra > 0
