@@ -47,8 +47,9 @@ from ..ops.attn_ref import attn_scale
 
 NEG_INF = -1.0e30
 MAX_KV_BLOCK = 128   # gather granule upper bound (one MXU tile)
-# beyond this many KV bytes per head, fall back to the HBM-gather mode
-VMEM_KV_BUDGET = 10 * 1024 * 1024
+# total VMEM footprint cap for the resident mode (q+k+v+o whole-head plus
+# double-buffered gather scratch); the Mosaic scoped-vmem limit is 16MB
+VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def pad_block_indices(inds: jnp.ndarray, counts: jnp.ndarray) -> jnp.ndarray:
@@ -245,8 +246,9 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     block_inds = pad_block_indices(block_inds, block_counts)
 
     if mode == 'auto':
-        kv_bytes = 2 * Sk * D * k.dtype.itemsize
-        mode = 'vmem' if kv_bytes <= VMEM_KV_BUDGET else 'hbm'
+        resident = (2 * Sk + 2 * Sq) * D * k.dtype.itemsize
+        scratch = 4 * jmax * kv_block * D * k.dtype.itemsize
+        mode = 'vmem' if resident + scratch <= VMEM_BUDGET else 'hbm'
 
     qf = q.reshape(B * H, Sq, D)
     kf = k.reshape(B * H, Sk, D)

@@ -155,6 +155,12 @@ class FluxSparse:
     n_dense_attn_single: int
     n_dense_mlp_double: int
     n_dense_mlp_single: int
+    # optional (mesh, axis_name) for Ulysses head-parallel attention
+    ulysses: Optional[tuple] = None
+
+    def with_ulysses(self, mesh, axis: str) -> "FluxSparse":
+        import dataclasses
+        return dataclasses.replace(self, ulysses=(mesh, axis))
 
     @staticmethod
     def build(ck: ChipmunkConfig, model: FluxModelConfig, seq_len: int,
@@ -220,17 +226,35 @@ def _merge_heads(x):
 
 
 def _attn_call(mod: SparseDiffAttn, q, k, v, st: AttnState, step: StepKind,
-               is_dense, key) -> Tuple[jnp.ndarray, AttnState]:
+               is_dense, key, ulysses=None) -> Tuple[jnp.ndarray, AttnState]:
     """Dispatch one attention with runtime layer-dense flag (lax.cond —
-    first_n_dense_layers varies per layer inside the scan)."""
-    def dense(_):
-        return mod.dense_step(q, k, v), st
+    first_n_dense_layers varies per layer inside the scan).
 
-    def sparse(_):
-        return mod(q, k, v, st, step_index=step.index, is_full=step.full_attn,
-                   is_colsum=step.colsum, layer_is_dense=False, key=key)
+    ulysses: optional (mesh, axis) — run the attention head-parallel via
+    explicit all-to-alls (reference head_parallel.py semantics); sparsity
+    state stays local per head shard."""
+    def run(q, k, v, st, key):
+        def dense(_):
+            return mod.dense_step(q, k, v), st
 
-    return jax.lax.cond(is_dense, dense, sparse, None)
+        def sparse(_):
+            return mod(q, k, v, st, step_index=step.index,
+                       is_full=step.full_attn, is_colsum=step.colsum,
+                       layer_is_dense=False, key=key)
+
+        return jax.lax.cond(is_dense, dense, sparse, None)
+
+    if ulysses is None:
+        return run(q, k, v, st, key)
+    from ..parallel.comm import ulysses_attention
+    mesh, axis = ulysses
+
+    def sharded_fn(q, k, v, st):
+        # decorrelate the random mask across head shards
+        lkey = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        return run(q, k, v, st, lkey)
+
+    return ulysses_attention(mesh, axis, sharded_fn, q, k, v, st)
 
 
 def _mlp_call(mod: SparseDiffMlp, x2d, w1t, b1, w2, b2, st: MlpState,
@@ -330,7 +354,8 @@ def flux_forward(params: Dict, cfg: FluxModelConfig, sp: FluxSparse,
         k = apply_rope(k, cos, sin)
 
         attn_dense = idx < sp.n_dense_attn_double
-        o, ast2 = _attn_call(sp.attn_d, q, k, v, ast, step, attn_dense, lkey)
+        o, ast2 = _attn_call(sp.attn_d, q, k, v, ast, step, attn_dense,
+                             lkey, ulysses=sp.ulysses)
         o = _merge_heads(o)
         if cfg.txt_first:
             txt_o, img_o = o[:, :cfg.txt_len], o[:, cfg.txt_len:]
@@ -384,7 +409,8 @@ def flux_forward(params: Dict, cfg: FluxModelConfig, sp: FluxSparse,
         k = apply_rope(k, cos, sin)
 
         attn_dense = idx < sp.n_dense_attn_single
-        o, ast2 = _attn_call(sp.attn_s, q, k, v, ast, step, attn_dense, lkey)
+        o, ast2 = _attn_call(sp.attn_s, q, k, v, ast, step, attn_dense,
+                             lkey, ulysses=sp.ulysses)
         attn_out = linear(p['o_proj'], _merge_heads(o))
 
         mlp_dense = idx < sp.n_dense_mlp_single

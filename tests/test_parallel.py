@@ -69,3 +69,58 @@ def test_ulysses_sparse_attention_matches_single_device():
     o_par, _ = ulysses_attention(mesh, 'sp', full_then_sparse, q, k, v, st)
     np.testing.assert_allclose(np.asarray(o_par), np.asarray(o_ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_flux_forward_with_ulysses_matches_single():
+    """Model-level Ulysses: flux_forward with head-parallel attention over a
+    4-way mesh equals the unsharded run (deterministic top-k config)."""
+    import jax.numpy as jnp
+    from chipmunk_tpu.models.flux import (flux_forward, FluxStep, FluxSparse,
+                                          flux_rope_ids)
+    from chipmunk_tpu.models import init_flux_params, FluxModelConfig
+    from chipmunk_tpu.models.layers import build_rope
+    from chipmunk_tpu.config import config_from_dict
+
+    model = FluxModelConfig(
+        in_channels=16, vec_in_dim=32, context_in_dim=32, hidden_size=256,
+        num_heads=4, mlp_ratio=2.0, depth=1, depth_single_blocks=1,
+        axes_dim=(16, 24, 24), guidance_embed=False, txt_len=128,
+        dtype=jnp.float32)
+    ck = config_from_dict({
+        'attn': {'top_keys': 0.4, 'kv_block': 32, 'counts_multiple_of': 32,
+                 'first_n_dense_layers': 0,
+                 'should_compress_indices': False},
+        'mlp': {'is_enabled': False},
+    })
+    h_img, w_img = 16, 24
+    seq = model.txt_len + h_img * w_img
+    params = init_flux_params(jax.random.PRNGKey(0), model)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    img = jax.random.normal(ks[0], (1, h_img * w_img, 16))
+    txt = jax.random.normal(ks[1], (1, 128, 32))
+    y = jax.random.normal(ks[2], (1, 32))
+    t = jnp.full((1,), 0.7)
+    pe = build_rope(flux_rope_ids(1, h_img, w_img, 128), model.axes_dim,
+                    model.theta)
+    key = jax.random.PRNGKey(7)
+
+    def steps(sp):
+        st = sp.init_state(model, 1)
+        outs = []
+        for fs in [FluxStep(0, True, True, False, False),
+                   FluxStep(1, True, False, True, False),
+                   FluxStep(2, False, False, False, False)]:
+            p, st = flux_forward(params, model, sp, img, txt, t, y, pe, st,
+                                 fs, key=key)
+            outs.append(p)
+        return outs
+
+    sp0 = FluxSparse.build(ck, model, seq, use_kernels=False)
+    ref = steps(sp0)
+    mesh = make_mesh({'sp': 4})
+    spu = sp0.with_ulysses(mesh, 'sp')
+    with mesh:
+        par = steps(spu)
+    for a, b in zip(ref, par):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
