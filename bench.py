@@ -28,7 +28,7 @@ def _enable_compile_cache():
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/jax_compile_cache")
+                          "/root/.cache/jax_compile_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception as e:

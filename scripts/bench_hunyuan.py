@@ -10,7 +10,7 @@ import time
 sys.path.insert(0, '/'.join(__file__.split('/')[:-2]))
 
 import jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_compile_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
