@@ -15,9 +15,10 @@ from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import ChipmunkConfig
-from ..schedule import step_plan
+from ..schedule import step_plan, StepKind
 from ..ops.patch import patch_order, inverse_patch_order
 from .flux import (FluxModelConfig, FluxSparse, FluxState, FluxStep,
                    flux_forward, flux_rope_ids)
@@ -99,6 +100,77 @@ class FluxSampler:
             self._step_fns[sig] = jax.jit(fn, donate_argnums=(6,))
         return self._step_fns[sig]
 
+    # ------------------------------------------------- compiled full loop
+    def denoise_compiled(self, params: Dict, img: jnp.ndarray,
+                         txt: jnp.ndarray, y: jnp.ndarray,
+                         timesteps: jnp.ndarray, guidance: float = 4.0,
+                         key: Optional[jax.Array] = None) -> jnp.ndarray:
+        """The whole denoise loop as ONE jitted lax.scan: the distinct step
+        kinds appearing in the schedule become a lax.switch over statically
+        compiled model variants (plus a skip branch for step caching).  One
+        dispatch per generation — no host round-trips in the hot loop."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        B = img.shape[0]
+        img = self.patchify_img(img)
+        pe = self.rope(B)
+        state0 = self.sp.init_state(self.cfg, B)
+        plan = step_plan(self.ck)
+        n = min(len(plan), timesteps.shape[0] - 1)
+
+        # enumerate the distinct (skip | step-kind) variants in this plan
+        def sig(i):
+            k = plan[i]
+            if k.skip and i > 0:
+                return 'skip'
+            return (min(i, 2), k.full_attn, k.full_mlp, k.colsum,
+                    k.recompute_mlp_mask)
+
+        uniq = []
+        kind_ix = []
+        for i in range(n):
+            s = sig(i)
+            if s not in uniq:
+                uniq.append(s)
+            kind_ix.append(uniq.index(s))
+        kinds = jnp.asarray(kind_ix, jnp.int32)
+        g = (jnp.full((B,), guidance, jnp.float32)
+             if self.cfg.guidance_embed else None)
+
+        def model_branch(s):
+            step = FluxStep(index=s[0], full_attn=s[1], full_mlp=s[2],
+                            colsum=s[3], recompute_mlp_mask=s[4])
+
+            def f(img, t_vec, state, pred, i):
+                return flux_forward(params, self.cfg, self.sp, img, txt,
+                                    t_vec, y, pe, state, step, guidance=g,
+                                    key=jax.random.fold_in(key, i))
+            return f
+
+        def skip_branch(img, t_vec, state, pred, i):
+            return pred, state
+
+        branches = [skip_branch if s == 'skip' else model_branch(s)
+                    for s in uniq]
+
+        def body(carry, xs):
+            img, state, pred = carry
+            i, kind, t_curr, t_prev = xs
+            t_vec = jnp.full((B,), t_curr, jnp.float32)
+            pred2, state2 = jax.lax.switch(kind, branches, img, t_vec,
+                                           state, pred, i)
+            img2 = img + (t_prev - t_curr) * pred2
+            return (img2, state2, pred2), None
+
+        xs = (jnp.arange(n), kinds, timesteps[:n], timesteps[1:n + 1])
+
+        @jax.jit
+        def run(params, img, state0):
+            (img_f, _, _), _ = jax.lax.scan(
+                body, (img, state0, jnp.zeros_like(img)), xs)
+            return img_f
+
+        return self.unpatchify_img(run(params, img, state0))
+
     # ------------------------------------------------------------ denoise
     def denoise(self, params: Dict, img: jnp.ndarray, txt: jnp.ndarray,
                 y: jnp.ndarray, timesteps: jnp.ndarray,
@@ -107,7 +179,7 @@ class FluxSampler:
                 callback: Optional[Callable] = None) -> jnp.ndarray:
         """Euler flow-matching loop (reference sampling.py:277-292) with
         chipmunk scheduling + step caching.  img: [B, S_img, C_in]."""
-        key = key or jax.random.PRNGKey(0)
+        key = key if key is not None else jax.random.PRNGKey(0)
         B = img.shape[0]
         img = self.patchify_img(img)
         pe = self.rope(B)

@@ -25,7 +25,7 @@ def hunyuan_denoise(model, params: Dict, latents: jnp.ndarray,
                     key: Optional[jax.Array] = None,
                     callback: Optional[Callable] = None) -> jnp.ndarray:
     """Euler flow-matching loop for a HunyuanModel.  latents [B,C,T,H,W]."""
-    key = key or jax.random.PRNGKey(0)
+    key = key if key is not None else jax.random.PRNGKey(0)
     B = latents.shape[0]
     plan = step_plan(model.ck)
     state = model.init_state(B)
@@ -63,7 +63,7 @@ def wan_denoise(model, params: Dict, latents: jnp.ndarray,
     simply two explicit states here).  On skipped steps BOTH invocations'
     predictions are reused (reference keeps two CPU step caches,
     model.py:580-593)."""
-    key = key or jax.random.PRNGKey(0)
+    key = key if key is not None else jax.random.PRNGKey(0)
     B = latents.shape[0]
     plan = step_plan(model.ck)
     st_c, st_u = model.init_cfg_states(B)
@@ -90,3 +90,72 @@ def wan_denoise(model, params: Dict, latents: jnp.ndarray,
         if callback:
             callback(i, skipped=False)
     return latents
+
+
+def hunyuan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
+                             txt: jnp.ndarray, y: jnp.ndarray,
+                             timesteps: jnp.ndarray,
+                             guidance: float = 6.0,
+                             key: Optional[jax.Array] = None) -> jnp.ndarray:
+    """The whole video denoise loop as ONE jitted lax.scan (same shape as
+    FluxSampler.denoise_compiled): distinct step kinds -> lax.switch
+    branches, skip steps reuse the carried prediction.  One dispatch per
+    generation."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    B = latents.shape[0]
+    plan = step_plan(model.ck)
+    state0 = model.init_state(B)
+    pe = model.rope(B)
+    g = (jnp.full((B,), guidance, jnp.float32)
+         if model.cfg.guidance_embed else None)
+    n = min(len(plan), timesteps.shape[0] - 1)
+
+    def sig(i):
+        k = plan[i]
+        if k.skip and i > 0:
+            return 'skip'
+        return (min(i, 2), k.full_attn, k.full_mlp, k.colsum,
+                k.recompute_mlp_mask)
+
+    uniq, kind_ix = [], []
+    for i in range(n):
+        s = sig(i)
+        if s not in uniq:
+            uniq.append(s)
+        kind_ix.append(uniq.index(s))
+    kinds = jnp.asarray(kind_ix, jnp.int32)
+
+    def model_branch(s):
+        step = FluxStep(index=s[0], full_attn=s[1], full_mlp=s[2],
+                        colsum=s[3], recompute_mlp_mask=s[4])
+
+        def f(params, lat, t_vec, state, pred, i):
+            return model.forward(params, lat, txt, t_vec, y, state, step,
+                                 guidance=g,
+                                 key=jax.random.fold_in(key, i), pe=pe)
+        return f
+
+    def skip_branch(params, lat, t_vec, state, pred, i):
+        return pred, state
+
+    branches = [skip_branch if s == 'skip' else model_branch(s)
+                for s in uniq]
+
+    def body(carry, xs):
+        lat, state, pred = carry
+        i, kind, t_curr, t_prev = xs
+        t_vec = jnp.full((B,), t_curr, jnp.float32)
+        pred2, state2 = jax.lax.switch(kind, branches, params, lat, t_vec,
+                                       state, pred, i)
+        lat2 = lat + (t_prev - t_curr) * pred2
+        return (lat2, state2, pred2), None
+
+    xs = (jnp.arange(n), kinds, timesteps[:n], timesteps[1:n + 1])
+
+    @jax.jit
+    def run(params, lat, state0):
+        (lat_f, _, _), _ = jax.lax.scan(
+            body, (lat, state0, jnp.zeros_like(lat)), xs)
+        return lat_f
+
+    return run(params, latents, state0)

@@ -18,7 +18,7 @@ import numpy as np
 from chipmunk_tpu.config import load_config, config_from_dict
 from chipmunk_tpu.models.hunyuan import (HunyuanModelConfig, HunyuanModel,
                                          init_hunyuan_params)
-from chipmunk_tpu.models.video_sampling import hunyuan_denoise
+from chipmunk_tpu.models.video_sampling import hunyuan_denoise_compiled
 from chipmunk_tpu.models.sampling import get_schedule
 
 
@@ -57,13 +57,13 @@ def main():
     def run(ck, tag):
         model = HunyuanModel(cfg=cfg, ck=ck, use_kernels=on_tpu)
         t0 = time.perf_counter()
-        out = hunyuan_denoise(model, params, lat, txt, y, ts)
+        out = hunyuan_denoise_compiled(model, params, lat, txt, y, ts)
         _ = float(np.asarray(out[0, 0, 0, 0, 0]))
         log(f"{tag}: warmup(+compile) {time.perf_counter()-t0:.1f}s")
         best = float('inf')
         for i in range(2):
             t0 = time.perf_counter()
-            out = hunyuan_denoise(model, params, lat, txt, y, ts)
+            out = hunyuan_denoise_compiled(model, params, lat, txt, y, ts)
             _ = float(np.asarray(out[0, 0, 0, 0, 0]))
             dt = time.perf_counter() - t0
             log(f"{tag} trial {i}: {dt:.2f}s")

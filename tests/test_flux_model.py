@@ -146,3 +146,15 @@ def test_flux_batch2_matches_two_singles():
                                atol=2e-4, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(out2[1]), np.asarray(outb[0]),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_flux_denoise_compiled_matches_loop():
+    """The single-dispatch scanned loop must match the host loop exactly."""
+    sampler, params, img, txt, y = tiny_setup(steps=6, skip=(3,))
+    ts = get_schedule(6, 384, shift=False)
+    out_loop = sampler.denoise(params, img, txt, y, ts,
+                               key=jax.random.PRNGKey(3))
+    out_comp = sampler.denoise_compiled(params, img, txt, y, ts,
+                                        key=jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(out_comp), np.asarray(out_loop),
+                               atol=2e-4, rtol=2e-4)

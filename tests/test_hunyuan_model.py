@@ -108,3 +108,22 @@ def test_hunyuan_local_1d_window_mask():
     extra = m2.static_mask[:m.cfg.img_len // 128, :m.cfg.img_len].sum() \
         - m.static_mask[:m.cfg.img_len // 128, :m.cfg.img_len].sum()
     assert extra > 0
+
+
+def test_hunyuan_compiled_loop_runs():
+    from chipmunk_tpu.models.video_sampling import (hunyuan_denoise,
+                                                    hunyuan_denoise_compiled)
+    from chipmunk_tpu.models.sampling import get_schedule
+    m = tiny_hunyuan()
+    params = init_hunyuan_params(jax.random.PRNGKey(0), m.cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    lat = jax.random.normal(ks[0], (1, 4, 8, 8, 16), jnp.float32)
+    txt = jax.random.normal(ks[1], (1, 128, 64), jnp.float32)
+    y = jax.random.normal(ks[2], (1, 32), jnp.float32)
+    ts = get_schedule(4, m.cfg.img_len, shift=False)
+    out_l = hunyuan_denoise(m, params, lat, txt, y, ts,
+                            key=jax.random.PRNGKey(5))
+    out_c = hunyuan_denoise_compiled(m, params, lat, txt, y, ts,
+                                     key=jax.random.PRNGKey(5))
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_l),
+                               atol=2e-4, rtol=2e-4)
