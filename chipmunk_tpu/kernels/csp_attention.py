@@ -146,81 +146,102 @@ def _csp_vmem_kernel(inds_ref, counts_ref,        # SMEM
 # ----------------------------------------------------------------- HBM mode
 
 def _csp_hbm_kernel(inds_ref, counts_ref,         # SMEM
-                    q_ref,                         # VMEM [1, qg, D]
-                    k_hbm, v_hbm,                  # ANY  [BH, Sk, D]
-                    o_ref,
-                    kg_ref, vg_ref,                # [2, JT, D] gather scratch
-                    sems,                          # DMA [2, 2, jmax]
-                    *, tau: float, kv_block: int, jmax: int, qg: int):
-    """Video-scale path: K/V stay in HBM.  Same one-shot gathered attention
-    as the VMEM mode, but software-pipelined ACROSS grid programs: scratch
-    persists between programs, so program (b, g) waits on the gather that
-    program (b, g-1) started and prefetches group g+1 — gathers run at full
-    HBM bandwidth underneath the previous group's matmuls (the reference
-    hides the same latency with TMA-prefetched indices + cp.async,
-    csp_attn.cu:228-243)."""
-    b, g = pl.program_id(0), pl.program_id(1)
-    n_groups = pl.num_programs(1)
+                    q_hbm, k_hbm, v_hbm,           # ANY  [BH, S*, D]
+                    o_hbm,                          # ANY  [BH, Sq, D]
+                    qg_ref, kg_ref, vg_ref, og_ref,  # [2, ...] staging
+                    qsem, ksem, vsem, osem,
+                    *, tau: float, kv_block: int, jmax: int, qg: int,
+                    n_groups: int):
+    """Video-scale path: q/K/V/o all stay in HBM; one program per (b,h)
+    loops over query groups with every transfer double-buffered — the q tile
+    and the gathered KV blocks for group g+1 stream in underneath group g's
+    matmuls, and o tiles stream out (the reference hides the same latencies
+    with warp-specialized producers + TMA, csp_attn.cu:228-300)."""
+    b = pl.program_id(0)
+    JT = jmax * kv_block
 
-    def group_dmas(gg, slot):
-        count = counts_ref[0, 0, gg]
+    def q_dma(g, slot):
+        return pltpu.make_async_copy(
+            q_hbm.at[b, pl.ds(g * qg, qg), :], qg_ref.at[slot],
+            qsem.at[slot])
+
+    def o_dma(g, slot):
+        return pltpu.make_async_copy(
+            og_ref.at[slot], o_hbm.at[b, pl.ds(g * qg, qg), :],
+            osem.at[slot])
+
+    def kv_dmas(g, slot):
+        count = counts_ref[0, 0, g]
         for t in range(jmax):
-            idx = inds_ref[0, gg, t]
-            src = pl.ds(idx * kv_block, kv_block)
-            dst = pl.ds(t * kv_block, kv_block)
+            idx = inds_ref[0, g, t]
+            srcs = pl.ds(idx * kv_block, kv_block)
+            dsts = pl.ds(t * kv_block, kv_block)
             yield (t < count,
-                   pltpu.make_async_copy(k_hbm.at[b, src, :],
-                                         kg_ref.at[slot, dst, :],
-                                         sems.at[0, slot, t]),
-                   pltpu.make_async_copy(v_hbm.at[b, src, :],
-                                         vg_ref.at[slot, dst, :],
-                                         sems.at[1, slot, t]))
+                   pltpu.make_async_copy(k_hbm.at[b, srcs, :],
+                                         kg_ref.at[slot, dsts, :],
+                                         ksem.at[slot, t]),
+                   pltpu.make_async_copy(v_hbm.at[b, srcs, :],
+                                         vg_ref.at[slot, dsts, :],
+                                         vsem.at[slot, t]))
 
-    def start_group(gg, slot):
-        for live, kd, vd in group_dmas(gg, slot):
+    def start_group(g, slot):
+        q_dma(g, slot).start()
+        for live, kd, vd in kv_dmas(g, slot):
             @pl.when(live)
             def _():
                 kd.start()
                 vd.start()
 
-    def wait_group(gg, slot):
-        for live, kd, vd in group_dmas(gg, slot):
+    def wait_group(g, slot):
+        q_dma(g, slot).wait()
+        for live, kd, vd in kv_dmas(g, slot):
             @pl.when(live)
             def _():
                 kd.wait()
                 vd.wait()
 
-    @pl.when(jnp.logical_and(b == 0, g == 0))
-    def _init_scratch():
-        # only truly uninitialized memory is dangerous (NaN x 0 = NaN in
-        # the PV matmul); later stale-but-finite rows are masked out
-        kg_ref[:] = jnp.zeros_like(kg_ref)
-        vg_ref[:] = jnp.zeros_like(vg_ref)
+    # unwritten scratch rows must be finite (0 * NaN = NaN in the PV matmul)
+    kg_ref[:] = jnp.zeros_like(kg_ref)
+    vg_ref[:] = jnp.zeros_like(vg_ref)
+    start_group(0, 0)
 
-    slot = jax.lax.rem(g, 2)
+    def body(g, _):
+        slot = jax.lax.rem(g, 2)
 
-    @pl.when(g == 0)
-    def _first():
-        start_group(0, 0)
+        @pl.when(g + 1 < n_groups)
+        def _prefetch():
+            start_group(g + 1, 1 - slot)
 
-    @pl.when(g + 1 < n_groups)
-    def _prefetch():
-        start_group(g + 1, 1 - slot)
+        wait_group(g, slot)
+        count = counts_ref[0, 0, g]
+        s = jax.lax.dot_general(qg_ref[slot], kg_ref[slot],
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * tau
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col // kv_block < count, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(vg_ref.dtype), vg_ref[slot],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        l = jnp.where(l == 0.0, 1.0, l)
 
-    wait_group(g, slot)
-    count = counts_ref[0, 0, g]
-    s = jax.lax.dot_general(q_ref[0], kg_ref[slot], (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * tau
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col // kv_block < count, s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp2(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(p.astype(vg_ref.dtype), vg_ref[slot],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    l = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0] = (o / l).astype(o_ref.dtype)
+        # wait for the o writeback that used this slot two groups ago
+        @pl.when(g >= 2)
+        def _():
+            o_dma(g - 2, slot).wait()
+
+        og_ref[slot] = (o / l).astype(og_ref.dtype)
+        o_dma(g, slot).start()
+        return 0
+
+    jax.lax.fori_loop(0, n_groups, body, 0)
+
+    @pl.when(n_groups >= 2)
+    def _():
+        o_dma(n_groups - 2, jax.lax.rem(n_groups - 2, 2)).wait()
+    o_dma(n_groups - 1, jax.lax.rem(n_groups - 1, 2)).wait()
 
 
 @functools.partial(jax.jit,
@@ -257,12 +278,6 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     countsf = block_counts.reshape(B * H, 1, G).astype(jnp.int32)
 
     common = dict(tau=attn_scale(D), kv_block=kv_block, qg=qg)
-    smem_specs = [
-        pl.BlockSpec((1, G, jmax), lambda b, g: (b, 0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, G), lambda b, g: (b, 0, 0),
-                     memory_space=pltpu.SMEM),
-    ]
     if mode == 'vmem':
         o = pl.pallas_call(
             functools.partial(_csp_vmem_kernel, tau=common['tau'],
@@ -290,20 +305,31 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     else:
         o = pl.pallas_call(
             functools.partial(_csp_hbm_kernel, tau=common['tau'],
-                              kv_block=kv_block, jmax=jmax, qg=qg),
-            grid=(B * H, G),
-            in_specs=smem_specs + [
-                pl.BlockSpec((1, qg, D), lambda b, g: (b, g, 0)),
+                              kv_block=kv_block, jmax=jmax, qg=qg,
+                              n_groups=G),
+            grid=(B * H,),
+            in_specs=[
+                pl.BlockSpec((1, G, jmax), lambda b: (b, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, G), lambda b: (b, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((1, qg, D), lambda b, g: (b, g, 0)),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((B * H, Sq, D), q.dtype),
             scratch_shapes=[
+                pltpu.VMEM((2, qg, D), q.dtype),
                 pltpu.VMEM((2, jmax * kv_block, D), k.dtype),
                 pltpu.VMEM((2, jmax * kv_block, D), v.dtype),
-                pltpu.SemaphoreType.DMA((2, 2, jmax)),
+                pltpu.VMEM((2, qg, D), q.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2, jmax)),
+                pltpu.SemaphoreType.DMA((2, jmax)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
         )(indsf, countsf, qf, kf, vf)
     return o.reshape(B, H, Sq, D)
