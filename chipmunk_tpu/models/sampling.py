@@ -158,8 +158,8 @@ class FluxSampler:
             t_vec = jnp.full((B,), t_curr, jnp.float32)
             pred2, state2 = jax.lax.switch(kind, branches, img, t_vec,
                                            state, pred, i)
-            img2 = img + (t_prev - t_curr) * pred2
-            return (img2, state2, pred2), None
+            img2 = (img + (t_prev - t_curr) * pred2).astype(img.dtype)
+            return (img2, state2, pred2.astype(img.dtype)), None
 
         xs = (jnp.arange(n), kinds, timesteps[:n], timesteps[1:n + 1])
 

@@ -147,8 +147,8 @@ def hunyuan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
         t_vec = jnp.full((B,), t_curr, jnp.float32)
         pred2, state2 = jax.lax.switch(kind, branches, params, lat, t_vec,
                                        state, pred, i)
-        lat2 = lat + (t_prev - t_curr) * pred2
-        return (lat2, state2, pred2), None
+        lat2 = (lat + (t_prev - t_curr) * pred2).astype(lat.dtype)
+        return (lat2, state2, pred2.astype(lat.dtype)), None
 
     xs = (jnp.arange(n), kinds, timesteps[:n], timesteps[1:n + 1])
 
