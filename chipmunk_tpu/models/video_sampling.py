@@ -159,3 +159,70 @@ def hunyuan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
         return lat_f
 
     return run(params, latents, state0)
+
+
+def wan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
+                         ctx_cond: jnp.ndarray, ctx_uncond: jnp.ndarray,
+                         timesteps: jnp.ndarray, guide_scale: float = 5.0,
+                         key: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Single-dispatch CFG loop: both invocations (cond/uncond, each with
+    its own cache state) inside one scanned step."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    B = latents.shape[0]
+    plan = step_plan(model.ck)
+    st_c0, st_u0 = model.init_cfg_states(B)
+    pe = model.rope(B)
+    n = min(len(plan), timesteps.shape[0] - 1)
+
+    def sig(i):
+        k = plan[i]
+        if k.skip and i > 0:
+            return 'skip'
+        return (min(i, 2), k.full_attn, k.full_mlp, k.colsum,
+                k.recompute_mlp_mask)
+
+    uniq, kind_ix = [], []
+    for i in range(n):
+        s = sig(i)
+        if s not in uniq:
+            uniq.append(s)
+        kind_ix.append(uniq.index(s))
+    kinds = jnp.asarray(kind_ix, jnp.int32)
+
+    def model_branch(s):
+        step = FluxStep(index=s[0], full_attn=s[1], full_mlp=s[2],
+                        colsum=s[3], recompute_mlp_mask=s[4])
+
+        def f(params, lat, t_vec, st_c, st_u, pred, i):
+            k_i = jax.random.fold_in(key, i)
+            p_c, st_c = model.forward(params, lat, ctx_cond, t_vec, st_c,
+                                      step, key=k_i, pe=pe)
+            p_u, st_u = model.forward(params, lat, ctx_uncond, t_vec, st_u,
+                                      step, key=k_i, pe=pe)
+            return p_u + guide_scale * (p_c - p_u), st_c, st_u
+        return f
+
+    def skip_branch(params, lat, t_vec, st_c, st_u, pred, i):
+        return pred, st_c, st_u
+
+    branches = [skip_branch if s == 'skip' else model_branch(s)
+                for s in uniq]
+
+    def body(carry, xs):
+        lat, st_c, st_u, pred = carry
+        i, kind, t_curr, t_prev = xs
+        t_vec = jnp.full((B,), t_curr, jnp.float32)
+        pred2, st_c, st_u = jax.lax.switch(kind, branches, params, lat,
+                                           t_vec, st_c, st_u, pred, i)
+        lat2 = (lat + (t_prev - t_curr) * pred2).astype(lat.dtype)
+        return (lat2, st_c, st_u, pred2.astype(lat.dtype)), None
+
+    xs = (jnp.arange(n), kinds, timesteps[:n], timesteps[1:n + 1])
+
+    @jax.jit
+    def run(params, lat, st_c, st_u):
+        (lat_f, _, _, _), _ = jax.lax.scan(
+            body, (lat, st_c, st_u, jnp.zeros_like(lat)), xs)
+        return lat_f
+
+    return run(params, latents, st_c0, st_u0)

@@ -83,3 +83,22 @@ def test_wan_sparse_close_to_dense():
     denom = np.abs(np.asarray(lat_d)).mean()
     rel = np.abs(np.asarray(lat_s) - np.asarray(lat_d)).mean() / denom
     assert rel < 0.2, rel
+
+
+def test_wan_compiled_loop_matches():
+    from chipmunk_tpu.models.video_sampling import (wan_denoise,
+                                                    wan_denoise_compiled)
+    from chipmunk_tpu.models.sampling import get_schedule
+    m = tiny_wan()
+    params = init_wan_params(jax.random.PRNGKey(0), m.cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    lat = jax.random.normal(ks[0], (1, 4, 4, 8, 16), jnp.float32)
+    ctx_c = jax.random.normal(ks[1], (1, 64, 64), jnp.float32)
+    ctx_u = jax.random.normal(ks[2], (1, 64, 64), jnp.float32)
+    ts = get_schedule(4, m.cfg.seq_len, shift=False)
+    out_l = wan_denoise(m, params, lat, ctx_c, ctx_u, ts,
+                        key=jax.random.PRNGKey(5))
+    out_c = wan_denoise_compiled(m, params, lat, ctx_c, ctx_u, ts,
+                                 key=jax.random.PRNGKey(5))
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_l),
+                               atol=2e-4, rtol=2e-4)
