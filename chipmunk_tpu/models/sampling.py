@@ -140,31 +140,31 @@ class FluxSampler:
             step = FluxStep(index=s[0], full_attn=s[1], full_mlp=s[2],
                             colsum=s[3], recompute_mlp_mask=s[4])
 
-            def f(img, t_vec, state, pred, i):
+            def f(params, img, t_vec, state, pred, i):
                 return flux_forward(params, self.cfg, self.sp, img, txt,
                                     t_vec, y, pe, state, step, guidance=g,
                                     key=jax.random.fold_in(key, i))
             return f
 
-        def skip_branch(img, t_vec, state, pred, i):
+        def skip_branch(params, img, t_vec, state, pred, i):
             return pred, state
 
         branches = [skip_branch if s == 'skip' else model_branch(s)
                     for s in uniq]
 
-        def body(carry, xs):
-            img, state, pred = carry
-            i, kind, t_curr, t_prev = xs
-            t_vec = jnp.full((B,), t_curr, jnp.float32)
-            pred2, state2 = jax.lax.switch(kind, branches, img, t_vec,
-                                           state, pred, i)
-            img2 = (img + (t_prev - t_curr) * pred2).astype(img.dtype)
-            return (img2, state2, pred2.astype(img.dtype)), None
-
         xs = (jnp.arange(n), kinds, timesteps[:n], timesteps[1:n + 1])
 
         @jax.jit
         def run(params, img, state0):
+            def body(carry, x):
+                img, state, pred = carry
+                i, kind, t_curr, t_prev = x
+                t_vec = jnp.full((B,), t_curr, jnp.float32)
+                pred2, state2 = jax.lax.switch(kind, branches, params, img,
+                                               t_vec, state, pred, i)
+                img2 = (img + (t_prev - t_curr) * pred2).astype(img.dtype)
+                return (img2, state2, pred2.astype(img.dtype)), None
+
             (img_f, _, _), _ = jax.lax.scan(
                 body, (img, state0, jnp.zeros_like(img)), xs)
             return img_f
