@@ -55,6 +55,7 @@ class FluxSampler:
 
     def __post_init__(self):
         self._step_fns: Dict = {}
+        self._compiled_runs: Dict = {}
 
     # ------------------------------------------------------------ plumbing
     def rope(self, B: int):
@@ -117,7 +118,6 @@ class FluxSampler:
         plan = step_plan(self.ck)
         n = min(len(plan), timesteps.shape[0] - 1)
 
-        # enumerate the distinct (skip | step-kind) variants in this plan
         def sig(i):
             k = plan[i]
             if k.skip and i > 0:
@@ -125,8 +125,7 @@ class FluxSampler:
             return (min(i, 2), k.full_attn, k.full_mlp, k.colsum,
                     k.recompute_mlp_mask)
 
-        uniq = []
-        kind_ix = []
+        uniq, kind_ix = [], []
         for i in range(n):
             s = sig(i)
             if s not in uniq:
@@ -135,41 +134,53 @@ class FluxSampler:
         kinds = jnp.asarray(kind_ix, jnp.int32)
         g = (jnp.full((B,), guidance, jnp.float32)
              if self.cfg.guidance_embed else None)
-
-        def model_branch(s):
-            step = FluxStep(index=s[0], full_attn=s[1], full_mlp=s[2],
-                            colsum=s[3], recompute_mlp_mask=s[4])
-
-            def f(params, img, t_vec, state, pred, i):
-                return flux_forward(params, self.cfg, self.sp, img, txt,
-                                    t_vec, y, pe, state, step, guidance=g,
-                                    key=jax.random.fold_in(key, i))
-            return f
-
-        def skip_branch(params, img, t_vec, state, pred, i):
-            return pred, state
-
-        branches = [skip_branch if s == 'skip' else model_branch(s)
-                    for s in uniq]
-
         xs = (jnp.arange(n), kinds, timesteps[:n], timesteps[1:n + 1])
 
-        @jax.jit
-        def run(params, img, state0):
-            def body(carry, x):
-                img, state, pred = carry
-                i, kind, t_curr, t_prev = x
-                t_vec = jnp.full((B,), t_curr, jnp.float32)
-                pred2, state2 = jax.lax.switch(kind, branches, params, img,
-                                               t_vec, state, pred, i)
-                img2 = (img + (t_prev - t_curr) * pred2).astype(img.dtype)
-                return (img2, state2, pred2.astype(img.dtype)), None
+        # cache the jitted runner per (schedule, shape) signature —
+        # rebuilding it per call would re-trace the whole program; all
+        # arrays are threaded as arguments (no captured constants)
+        cache_key = (n, img.shape, str(img.dtype), tuple(kind_ix),
+                     g is None)
+        if cache_key not in self._compiled_runs:
+            cfg, sp = self.cfg, self.sp
 
-            (img_f, _, _), _ = jax.lax.scan(
-                body, (img, state0, jnp.zeros_like(img)), xs)
-            return img_f
+            def run(params, img, state0, xs, txt, y, pe, g, key):
+                def model_branch(s):
+                    step = FluxStep(index=s[0], full_attn=s[1],
+                                    full_mlp=s[2], colsum=s[3],
+                                    recompute_mlp_mask=s[4])
 
-        return self.unpatchify_img(run(params, img, state0))
+                    def f(img, t_vec, state, pred, i):
+                        return flux_forward(params, cfg, sp, img, txt,
+                                            t_vec, y, pe, state, step,
+                                            guidance=g,
+                                            key=jax.random.fold_in(key, i))
+                    return f
+
+                def skip_branch(img, t_vec, state, pred, i):
+                    return pred, state
+
+                branches = [skip_branch if s == 'skip' else model_branch(s)
+                            for s in uniq]
+
+                def body(carry, x):
+                    img, state, pred = carry
+                    i, kind, t_curr, t_prev = x
+                    t_vec = jnp.full((B,), t_curr, jnp.float32)
+                    pred2, state2 = jax.lax.switch(kind, branches, img,
+                                                   t_vec, state, pred, i)
+                    img2 = (img + (t_prev - t_curr) * pred2
+                            ).astype(img.dtype)
+                    return (img2, state2, pred2.astype(img.dtype)), None
+
+                (img_f, _, _), _ = jax.lax.scan(
+                    body, (img, state0, jnp.zeros_like(img)), xs)
+                return img_f
+
+            self._compiled_runs[cache_key] = jax.jit(run)
+        out = self._compiled_runs[cache_key](params, img, state0, xs,
+                                             txt, y, pe, g, key)
+        return self.unpatchify_img(out)
 
     # ------------------------------------------------------------ denoise
     def denoise(self, params: Dict, img: jnp.ndarray, txt: jnp.ndarray,

@@ -17,6 +17,29 @@ import jax.numpy as jnp
 from ..schedule import step_plan
 from .flux import FluxStep
 
+# jitted-runner cache shared by the samplers below (keyed by model identity,
+# schedule and shapes)
+_JIT_CACHE: Dict = {}
+
+
+def _jit_step(model, step: FluxStep, tag: str):
+    """One jitted model evaluation per (model, step-kind) for the host-loop
+    samplers — eager tracing per step would dominate runtime."""
+    sig = (tag, id(model), step.full_attn, step.full_mlp, step.colsum,
+           step.recompute_mlp_mask, min(step.index, 2))
+    if sig not in _JIT_CACHE:
+        if tag == 'hy-step':
+            def fn(params, lat, txt, t_vec, y, state, g, key, pe,
+                   _step=step):
+                return model.forward(params, lat, txt, t_vec, y, state,
+                                     _step, guidance=g, key=key, pe=pe)
+        else:
+            def fn(params, lat, ctx, t_vec, state, key, pe, _step=step):
+                return model.forward(params, lat, ctx, t_vec, state, _step,
+                                     key=key, pe=pe)
+        _JIT_CACHE[sig] = jax.jit(fn)
+    return _JIT_CACHE[sig]
+
 
 def hunyuan_denoise(model, params: Dict, latents: jnp.ndarray,
                     txt: jnp.ndarray, y: jnp.ndarray,
@@ -43,9 +66,9 @@ def hunyuan_denoise(model, params: Dict, latents: jnp.ndarray,
                 callback(i, skipped=True)
             continue
         t_vec = jnp.full((B,), t_curr, jnp.float32)
-        pred, state = model.forward(params, latents, txt, t_vec, y, state,
-                                    FluxStep.of(kind, i), guidance=g,
-                                    key=jax.random.fold_in(key, i), pe=pe)
+        fn = _jit_step(model, FluxStep.of(kind, i), 'hy-step')
+        pred, state = fn(params, latents, txt, t_vec, y, state, g,
+                         jax.random.fold_in(key, i), pe)
         latents = latents + (t_prev - t_curr) * pred
         if callback:
             callback(i, skipped=False)
@@ -81,10 +104,9 @@ def wan_denoise(model, params: Dict, latents: jnp.ndarray,
         t_vec = jnp.full((B,), t_curr, jnp.float32)
         step = FluxStep.of(kind, i)
         k_i = jax.random.fold_in(key, i)
-        p_c, st_c = model.forward(params, latents, ctx_cond, t_vec, st_c,
-                                  step, key=k_i, pe=pe)
-        p_u, st_u = model.forward(params, latents, ctx_uncond, t_vec, st_u,
-                                  step, key=k_i, pe=pe)
+        fn = _jit_step(model, step, 'wan-step')
+        p_c, st_c = fn(params, latents, ctx_cond, t_vec, st_c, k_i, pe)
+        p_u, st_u = fn(params, latents, ctx_uncond, t_vec, st_u, k_i, pe)
         pred = p_u + guide_scale * (p_c - p_u)
         latents = latents + (t_prev - t_curr) * pred
         if callback:
@@ -98,9 +120,8 @@ def hunyuan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
                              guidance: float = 6.0,
                              key: Optional[jax.Array] = None) -> jnp.ndarray:
     """The whole video denoise loop as ONE jitted lax.scan (same shape as
-    FluxSampler.denoise_compiled): distinct step kinds -> lax.switch
-    branches, skip steps reuse the carried prediction.  One dispatch per
-    generation."""
+    FluxSampler.denoise_compiled).  The jitted runner is cached per
+    (model, schedule, shape); all arrays are threaded as arguments."""
     key = key if key is not None else jax.random.PRNGKey(0)
     B = latents.shape[0]
     plan = step_plan(model.ck)
@@ -124,41 +145,45 @@ def hunyuan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
             uniq.append(s)
         kind_ix.append(uniq.index(s))
     kinds = jnp.asarray(kind_ix, jnp.int32)
-
-    def model_branch(s):
-        step = FluxStep(index=s[0], full_attn=s[1], full_mlp=s[2],
-                        colsum=s[3], recompute_mlp_mask=s[4])
-
-        def f(params, lat, t_vec, state, pred, i):
-            return model.forward(params, lat, txt, t_vec, y, state, step,
-                                 guidance=g,
-                                 key=jax.random.fold_in(key, i), pe=pe)
-        return f
-
-    def skip_branch(params, lat, t_vec, state, pred, i):
-        return pred, state
-
-    branches = [skip_branch if s == 'skip' else model_branch(s)
-                for s in uniq]
-
-    def body(carry, xs):
-        lat, state, pred = carry
-        i, kind, t_curr, t_prev = xs
-        t_vec = jnp.full((B,), t_curr, jnp.float32)
-        pred2, state2 = jax.lax.switch(kind, branches, params, lat, t_vec,
-                                       state, pred, i)
-        lat2 = (lat + (t_prev - t_curr) * pred2).astype(lat.dtype)
-        return (lat2, state2, pred2.astype(lat.dtype)), None
-
     xs = (jnp.arange(n), kinds, timesteps[:n], timesteps[1:n + 1])
 
-    @jax.jit
-    def run(params, lat, state0):
-        (lat_f, _, _), _ = jax.lax.scan(
-            body, (lat, state0, jnp.zeros_like(lat)), xs)
-        return lat_f
+    cache_key = ('hunyuan', id(model), n, latents.shape, str(latents.dtype),
+                 tuple(kind_ix), g is None)
+    if cache_key not in _JIT_CACHE:
+        def run(params, lat, state0, xs, txt, y, pe, g, key):
+            def model_branch(s):
+                step = FluxStep(index=s[0], full_attn=s[1], full_mlp=s[2],
+                                colsum=s[3], recompute_mlp_mask=s[4])
 
-    return run(params, latents, state0)
+                def f(lat, t_vec, state, pred, i):
+                    return model.forward(params, lat, txt, t_vec, y, state,
+                                         step, guidance=g,
+                                         key=jax.random.fold_in(key, i),
+                                         pe=pe)
+                return f
+
+            def skip_branch(lat, t_vec, state, pred, i):
+                return pred, state
+
+            branches = [skip_branch if s == 'skip' else model_branch(s)
+                        for s in uniq]
+
+            def body(carry, x):
+                lat, state, pred = carry
+                i, kind, t_curr, t_prev = x
+                t_vec = jnp.full((B,), t_curr, jnp.float32)
+                pred2, state2 = jax.lax.switch(kind, branches, lat, t_vec,
+                                               state, pred, i)
+                lat2 = (lat + (t_prev - t_curr) * pred2).astype(lat.dtype)
+                return (lat2, state2, pred2.astype(lat.dtype)), None
+
+            (lat_f, _, _), _ = jax.lax.scan(
+                body, (lat, state0, jnp.zeros_like(lat)), xs)
+            return lat_f
+
+        _JIT_CACHE[cache_key] = jax.jit(run)
+    return _JIT_CACHE[cache_key](params, latents, state0, xs, txt, y, pe,
+                                 g, key)
 
 
 def wan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
@@ -188,41 +213,44 @@ def wan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
             uniq.append(s)
         kind_ix.append(uniq.index(s))
     kinds = jnp.asarray(kind_ix, jnp.int32)
-
-    def model_branch(s):
-        step = FluxStep(index=s[0], full_attn=s[1], full_mlp=s[2],
-                        colsum=s[3], recompute_mlp_mask=s[4])
-
-        def f(params, lat, t_vec, st_c, st_u, pred, i):
-            k_i = jax.random.fold_in(key, i)
-            p_c, st_c = model.forward(params, lat, ctx_cond, t_vec, st_c,
-                                      step, key=k_i, pe=pe)
-            p_u, st_u = model.forward(params, lat, ctx_uncond, t_vec, st_u,
-                                      step, key=k_i, pe=pe)
-            return p_u + guide_scale * (p_c - p_u), st_c, st_u
-        return f
-
-    def skip_branch(params, lat, t_vec, st_c, st_u, pred, i):
-        return pred, st_c, st_u
-
-    branches = [skip_branch if s == 'skip' else model_branch(s)
-                for s in uniq]
-
-    def body(carry, xs):
-        lat, st_c, st_u, pred = carry
-        i, kind, t_curr, t_prev = xs
-        t_vec = jnp.full((B,), t_curr, jnp.float32)
-        pred2, st_c, st_u = jax.lax.switch(kind, branches, params, lat,
-                                           t_vec, st_c, st_u, pred, i)
-        lat2 = (lat + (t_prev - t_curr) * pred2).astype(lat.dtype)
-        return (lat2, st_c, st_u, pred2.astype(lat.dtype)), None
-
     xs = (jnp.arange(n), kinds, timesteps[:n], timesteps[1:n + 1])
 
-    @jax.jit
-    def run(params, lat, st_c, st_u):
-        (lat_f, _, _, _), _ = jax.lax.scan(
-            body, (lat, st_c, st_u, jnp.zeros_like(lat)), xs)
-        return lat_f
+    cache_key = ('wan', id(model), n, latents.shape, str(latents.dtype),
+                 tuple(kind_ix), float(guide_scale))
+    if cache_key not in _JIT_CACHE:
+        def run(params, lat, st_c, st_u, xs, ctx_c, ctx_u, key):
+            def model_branch(s):
+                step = FluxStep(index=s[0], full_attn=s[1], full_mlp=s[2],
+                                colsum=s[3], recompute_mlp_mask=s[4])
 
-    return run(params, latents, st_c0, st_u0)
+                def f(lat, t_vec, st_c, st_u, pred, i):
+                    k_i = jax.random.fold_in(key, i)
+                    p_c, st_c = model.forward(params, lat, ctx_c, t_vec,
+                                              st_c, step, key=k_i, pe=pe)
+                    p_u, st_u = model.forward(params, lat, ctx_u, t_vec,
+                                              st_u, step, key=k_i, pe=pe)
+                    return (p_u + guide_scale * (p_c - p_u)), st_c, st_u
+                return f
+
+            def skip_branch(lat, t_vec, st_c, st_u, pred, i):
+                return pred, st_c, st_u
+
+            branches = [skip_branch if s == 'skip' else model_branch(s)
+                        for s in uniq]
+
+            def body(carry, x):
+                lat, st_c, st_u, pred = carry
+                i, kind, t_curr, t_prev = x
+                t_vec = jnp.full((B,), t_curr, jnp.float32)
+                pred2, st_c, st_u = jax.lax.switch(
+                    kind, branches, lat, t_vec, st_c, st_u, pred, i)
+                lat2 = (lat + (t_prev - t_curr) * pred2).astype(lat.dtype)
+                return (lat2, st_c, st_u, pred2.astype(lat.dtype)), None
+
+            (lat_f, _, _, _), _ = jax.lax.scan(
+                body, (lat, st_c, st_u, jnp.zeros_like(lat)), xs)
+            return lat_f
+
+        _JIT_CACHE[cache_key] = jax.jit(run)
+    return _JIT_CACHE[cache_key](params, latents, st_c0, st_u0, xs,
+                                 ctx_cond, ctx_uncond, key)

@@ -78,8 +78,8 @@ def main():
     timer = StepTimer()
     with profile_region('./profiles', enabled=args.profile):
         with timer.span('denoise'):
-            out = sampler.denoise(params, img, txt, y, ts,
-                                  guidance=args.guidance, key=ks[2])
+            out = sampler.denoise_compiled(params, img, txt, y, ts,
+                                           guidance=args.guidance, key=ks[2])
             jax.block_until_ready(out)
     import numpy as np
     np.save(args.out, np.asarray(out, np.float32))

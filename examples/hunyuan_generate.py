@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from chipmunk_tpu.config import load_config, ChipmunkConfig
 from chipmunk_tpu.models.hunyuan import (HunyuanModelConfig, HunyuanModel,
                                          init_hunyuan_params)
-from chipmunk_tpu.models.video_sampling import hunyuan_denoise
+from chipmunk_tpu.models.video_sampling import hunyuan_denoise_compiled
 from chipmunk_tpu.models.sampling import get_schedule
 
 
@@ -53,9 +53,8 @@ def main():
     ts = get_schedule(args.steps, cfg.img_len, shift=False)
 
     t0 = time.perf_counter()
-    out = hunyuan_denoise(model, params, lat, txt, y, ts, key=ks[2],
-                          callback=lambda i, skipped: print(
-                              f"step {i}{' (cached)' if skipped else ''}"))
+    out = hunyuan_denoise_compiled(model, params, lat, txt, y, ts,
+                                   key=ks[2])
     jax.block_until_ready(out)
     print(f"done in {time.perf_counter()-t0:.1f}s")
     import numpy as np

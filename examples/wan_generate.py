@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from chipmunk_tpu.config import load_config, ChipmunkConfig, config_from_dict
 from chipmunk_tpu.models.wan import WanModelConfig, WanModel, init_wan_params
-from chipmunk_tpu.models.video_sampling import wan_denoise
+from chipmunk_tpu.models.video_sampling import wan_denoise_compiled
 from chipmunk_tpu.models.sampling import get_schedule
 
 
@@ -51,8 +51,8 @@ def main():
     ts = get_schedule(args.steps, cfg.seq_len, shift=False)
 
     t0 = time.perf_counter()
-    out = wan_denoise(model, params, lat, ctx_c, ctx_u, ts,
-                      guide_scale=args.guide_scale, key=ks[3])
+    out = wan_denoise_compiled(model, params, lat, ctx_c, ctx_u, ts,
+                               guide_scale=args.guide_scale, key=ks[3])
     jax.block_until_ready(out)
     print(f"done in {time.perf_counter()-t0:.1f}s")
     import numpy as np
