@@ -20,10 +20,9 @@ TPU-specific deltas (documented, quality-neutral-by-design):
 """
 from __future__ import annotations
 
-import copy
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Any, Dict, FrozenSet, Optional, Tuple
+from typing import Any, Dict, FrozenSet, Optional
 
 import yaml
 

@@ -36,7 +36,6 @@ Layout contract (enforced by the wrapper):
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

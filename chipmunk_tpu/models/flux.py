@@ -20,7 +20,7 @@ reference (layers.py:187-196).  txt_len and S must be multiples of 128.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..config import ChipmunkConfig
 from ..modules import SparseDiffAttn, SparseDiffMlp, AttnState, MlpState
 from ..schedule import StepKind
-from .layers import (apply_rope, build_rope, init_linear, init_mlp_embedder,
+from .layers import (apply_rope, init_linear, init_mlp_embedder,
                      layernorm, linear, mlp_embedder, modulation, rmsnorm,
                      timestep_embedding)
 

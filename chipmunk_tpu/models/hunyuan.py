@@ -23,7 +23,7 @@ random_keys=0.01, full_step_schedule={0,1,10,40}, 25-step skip schedule.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

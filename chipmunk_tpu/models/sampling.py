@@ -9,9 +9,8 @@ counters to advance because state is explicit.
 """
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +19,7 @@ import numpy as np
 from ..config import ChipmunkConfig
 from ..schedule import step_plan, StepKind
 from ..ops.patch import patch_order, inverse_patch_order
-from .flux import (FluxModelConfig, FluxSparse, FluxState, FluxStep,
+from .flux import (FluxModelConfig, FluxSparse, FluxStep,
                    flux_forward, flux_rope_ids)
 from .layers import build_rope
 

@@ -15,7 +15,6 @@ unsupported for the sparse MM2) — the sparse kernel path only quantizes mm1.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -19,7 +19,7 @@ fully local to each head shard — exactly the reference's invariant
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ XLA all-gathers per layer inside the scan.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 

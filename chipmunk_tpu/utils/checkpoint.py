@@ -8,7 +8,7 @@ checkpoints of real deployments; this flat .npz path has no extra deps).
 """
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ Policy keys mirror the reference's offloading config (util/config.py:55-70).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ caches instead of O(L) — the knob that lets video-scale cache footprints
 """
 from __future__ import annotations
 
-from typing import Any, Callable, List, Sequence, Tuple
+from typing import Any, Callable, List, Sequence
 
 import jax
 import jax.numpy as jnp
