@@ -85,7 +85,7 @@ def run_e2e():
                               h_img=h_img, w_img=w_img)
         import numpy as np
         t0 = time.perf_counter()
-        out = sampler.denoise_compiled(params, img, txt, y, ts)
+        out = sampler.denoise(params, img, txt, y, ts)
         # materialize on host: block_until_ready can return early under
         # remote-tunnel backends, a device_get cannot
         _ = float(np.asarray(out[0, 0, 0]))
@@ -93,7 +93,7 @@ def run_e2e():
         best = float('inf')
         for trial in range(3):
             t0 = time.perf_counter()
-            out = sampler.denoise_compiled(params, img, txt, y, ts)
+            out = sampler.denoise(params, img, txt, y, ts)
             _ = float(np.asarray(out[0, 0, 0]))
             dt = time.perf_counter() - t0
             log(f"{tag}: trial {trial}: {dt:.3f}s")
