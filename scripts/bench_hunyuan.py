@@ -29,8 +29,11 @@ def log(*a):
 def main():
     on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
     steps = 50
+    import os
+    scale = os.environ.get('CHIPMUNK_HY_SCALE', 'small')
+    dims = {'small': (9, 48, 80), 'large': (13, 68, 120)}[scale]
     cfg = HunyuanModelConfig(
-        latent_t=9, latent_h=48, latent_w=80,     # ~1/4-scale video
+        latent_t=dims[0], latent_h=dims[1], latent_w=dims[2],
         depth_double=2, depth_single=4,
         dtype=jnp.bfloat16 if on_tpu else jnp.float32)
     log(f"img tokens: {cfg.img_len}, seq: {cfg.seq_len}")
