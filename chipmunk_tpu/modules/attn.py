@@ -202,5 +202,10 @@ class SparseDiffAttn:
 
     def init_state(self, B: int, H: int, D: int,
                    dtype=jnp.bfloat16) -> AttnState:
+        if not self.cfg.is_enabled:
+            return AttnState(out_cache=jnp.zeros((1, 1, 1, 1), dtype),
+                             lse=jnp.zeros((1, 1, 1), jnp.float32),
+                             inds=jnp.zeros((1, 1, 1, 1), jnp.int32),
+                             counts=jnp.ones((1, 1, 1), jnp.int32))
         return init_attn_state(B, H, self.seq_len, D, self.jmax,
                                self.cfg.kv_block, dtype)

@@ -162,6 +162,13 @@ class SparseDiffMlp:
                                 recompute=recompute_mask, key=key)
 
     def init_state(self, dtype=jnp.bfloat16) -> MlpState:
+        if not self.cfg.is_enabled:
+            # disabled modules never touch their caches — don't pay for them
+            return MlpState(out_cache=jnp.zeros((1, 1), dtype),
+                            act_cache=jnp.zeros((1, 1), dtype),
+                            bm_mid=jnp.zeros((1, 1), dtype),
+                            inds=jnp.zeros((1, 1), jnp.int32),
+                            counts=jnp.ones((1,), jnp.int32))
         T, C, N = self.n_tokens, self.d_model, self.d_hidden
         M = T // self.cfg.bm
         Mb = T // self.cfg.mbm
