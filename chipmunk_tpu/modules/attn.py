@@ -91,14 +91,20 @@ class SparseDiffAttn:
             n_static = static_mask.sum(-1) * cfg.kv_block
             sparse_qg = ((n_static + sel_blocks * cfg.kv_block)
                          < seq_len)[:, None]
-        # static cap on selected blocks: topk + random + static mask
-        cap = nb
-        if cfg.max_selected_frac < 1.0:
-            cap = int(nb * cfg.max_selected_frac)
-        jmax = min(cap, nb)
-        jmax = max(jmax, 1)
-        jmax = -(-jmax // mult_b) * mult_b
-        jmax = min(jmax, nb)
+        # static capacity for selected blocks = top-k + static mask + a
+        # random-keep margin, capped by max_selected_frac (the gather
+        # scratch in the kernels is sized by this, so keep it tight)
+        static_max = 0
+        if static_mask is not None:
+            static_max = int(jnp.max(static_mask.sum(-1)))
+        rand_margin = (max(8, int(3 * cfg.random_keys * nb))
+                       if (cfg.should_compress_indices
+                           and cfg.random_keys > 0) else 0)
+        need = sel_blocks + static_max + rand_margin
+        cap = nb if cfg.max_selected_frac >= 1.0 else int(
+            nb * cfg.max_selected_frac)
+        jmax = max(min(need, cap, nb), 1)
+        jmax = min(-(-jmax // mult_b) * mult_b, nb)
         return SparseDiffAttn(cfg=cfg, seq_len=seq_len, jmax=jmax,
                               sel_blocks=sel_blocks, static_mask=static_mask,
                               sparse_query_groups=sparse_qg,
