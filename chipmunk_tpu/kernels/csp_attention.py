@@ -62,19 +62,40 @@ def pad_block_indices(inds: jnp.ndarray, counts: jnp.ndarray) -> jnp.ndarray:
 
 # ---------------------------------------------------------------- VMEM mode
 
+def _partial_block_mask(s, valid_ref, g, kv_block: int, jmax: int):
+    """Mask score columns that fall past the model-level KV padding
+    boundary.  valid_ref: VMEM [1, G, jmax] f32 — per gathered tile, the
+    number of valid leading tokens in that tile (kv_block if fully valid,
+    0 if fully padding).  Columns with in-tile offset >= that count get
+    NEG_INF."""
+    JT = jmax * kv_block
+    vrow = valid_ref[0, pl.ds(g, 1), :]                          # [1, jmax]
+    # expand per-tile counts to per-column via a one-hot matmul (dynamic-
+    # lane gathers aren't a TPU primitive; the MXU is)
+    tj = jax.lax.broadcasted_iota(jnp.int32, (jmax, JT), 0)
+    cj = jax.lax.broadcasted_iota(jnp.int32, (jmax, JT), 1) // kv_block
+    expand = (tj == cj).astype(jnp.float32)
+    vcol = jnp.dot(vrow, expand, preferred_element_type=jnp.float32)
+    colrem = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) % kv_block
+              ).astype(jnp.float32)
+    return jnp.where(colrem >= vcol, NEG_INF, s)
+
+
 def _csp_vmem_kernel(inds_ref, counts_ref,        # SMEM
-                     q_ref, k_ref, v_ref,         # VMEM, whole head each
-                     o_ref,
-                     kg_ref, vg_ref,              # [2, JT, D] gather scratch
-                     sems,                         # DMA [2, 2, jmax]
-                     *, tau: float, kv_block: int, jmax: int, qg: int,
-                     n_groups: int):
+                     *refs,
+                     tau: float, kv_block: int, jmax: int, qg: int,
+                     n_groups: int, mask_kv: bool = False):
     """One program per (b,h).  q/K/V/o stay VMEM-resident for the whole
     head; per query group, the selected KV blocks are gathered VMEM->VMEM
     with async local DMA double-buffered across groups, then attention is
     one exact-softmax shot: two large matmuls instead of a flash loop.
     Program count is B*H (vs B*H*G), so block-pipeline overhead amortizes
     over all groups."""
+    if mask_kv:
+        valid_ref, q_ref, k_ref, v_ref, o_ref, kg_ref, vg_ref, sems = refs
+    else:
+        valid_ref = None
+        q_ref, k_ref, v_ref, o_ref, kg_ref, vg_ref, sems = refs
     JT = jmax * kv_block
 
     def group_dmas(g, slot):
@@ -128,6 +149,8 @@ def _csp_vmem_kernel(inds_ref, counts_ref,        # SMEM
                                 preferred_element_type=jnp.float32) * tau
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col // kv_block < count, s, NEG_INF)
+        if mask_kv:
+            s = _partial_block_mask(s, valid_ref, g, kv_block, jmax)
         # exact softmax: the whole selected row is in hand (no online pass)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2(s - m)
@@ -145,17 +168,21 @@ def _csp_vmem_kernel(inds_ref, counts_ref,        # SMEM
 # ----------------------------------------------------------------- HBM mode
 
 def _csp_hbm_kernel(inds_ref, counts_ref,         # SMEM
-                    q_hbm, k_hbm, v_hbm,           # ANY  [BH, S*, D]
-                    o_hbm,                          # ANY  [BH, Sq, D]
-                    qg_ref, kg_ref, vg_ref, og_ref,  # [2, ...] staging
-                    qsem, ksem, vsem, osem,
-                    *, tau: float, kv_block: int, jmax: int, qg: int,
-                    n_groups: int):
+                    *refs,
+                    tau: float, kv_block: int, jmax: int, qg: int,
+                    n_groups: int, mask_kv: bool = False):
     """Video-scale path: q/K/V/o all stay in HBM; one program per (b,h)
     loops over query groups with every transfer double-buffered — the q tile
     and the gathered KV blocks for group g+1 stream in underneath group g's
     matmuls, and o tiles stream out (the reference hides the same latencies
     with warp-specialized producers + TMA, csp_attn.cu:228-300)."""
+    if mask_kv:
+        (valid_ref, q_hbm, k_hbm, v_hbm, o_hbm,
+         qg_ref, kg_ref, vg_ref, og_ref, qsem, ksem, vsem, osem) = refs
+    else:
+        valid_ref = None
+        (q_hbm, k_hbm, v_hbm, o_hbm,
+         qg_ref, kg_ref, vg_ref, og_ref, qsem, ksem, vsem, osem) = refs
     b = pl.program_id(0)
     JT = jmax * kv_block
 
@@ -218,6 +245,8 @@ def _csp_hbm_kernel(inds_ref, counts_ref,         # SMEM
                                 preferred_element_type=jnp.float32) * tau
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col // kv_block < count, s, NEG_INF)
+        if mask_kv:
+            s = _partial_block_mask(s, valid_ref, g, kv_block, jmax)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
@@ -244,16 +273,22 @@ def _csp_hbm_kernel(inds_ref, counts_ref,         # SMEM
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('qg', 'kv_block', 'interpret', 'mode'))
+                   static_argnames=('qg', 'kv_block', 'interpret', 'mode',
+                                    'kv_valid'))
 def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
              block_inds: jnp.ndarray, block_counts: jnp.ndarray,
              qg: int = 128, kv_block: int = 128,
              mode: str = 'auto',
+             kv_valid: int = None,
              interpret: bool = False) -> jnp.ndarray:
     """Column-sparse attention.  Returns o [B,H,Sq,D] (q.dtype).
 
     block_inds int32 [B,H,G,jmax] (kv-block ids, pad-normalized here),
     block_counts int32 [B,H,G].  mode: 'auto' | 'vmem' | 'hbm'.
+    kv_valid: static number of valid KV rows; keys at positions
+    >= kv_valid (model-level padding tail) are excluded from the softmax
+    (the reference slices padded keys off before its kernels,
+    hyvideo/modules/attenion.py:106-117).
     """
     B, H, Sq, D = q.shape
     Sk = k.shape[-2]
@@ -264,6 +299,7 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     jmax = block_inds.shape[-1]
     block_counts = jnp.minimum(block_counts, jmax)
     block_inds = pad_block_indices(block_inds, block_counts)
+    mask_kv = kv_valid is not None and kv_valid < Sk
 
     if mode == 'auto':
         resident = (2 * Sk + 2 * Sq) * D * k.dtype.itemsize
@@ -275,19 +311,26 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     vf = v.reshape(B * H, Sk, D)
     indsf = block_inds.reshape(B * H, G, jmax)
     countsf = block_counts.reshape(B * H, 1, G).astype(jnp.int32)
+    extra_in, extra_specs = (), ()
+    if mask_kv:
+        # per-(group, tile) count of valid leading tokens in the gathered
+        # tile (computed here with vector ops; SMEM has no vector reads)
+        valid = jnp.clip(kv_valid - indsf * kv_block, 0, kv_block)
+        extra_in = (valid.astype(jnp.float32),)
+        extra_specs = (pl.BlockSpec((1, G, jmax), lambda b: (b, 0, 0)),)
 
-    common = dict(tau=attn_scale(D), kv_block=kv_block, qg=qg)
+    kw = dict(tau=attn_scale(D), kv_block=kv_block, jmax=jmax, qg=qg,
+              n_groups=G, mask_kv=mask_kv)
     if mode == 'vmem':
         o = pl.pallas_call(
-            functools.partial(_csp_vmem_kernel, tau=common['tau'],
-                              kv_block=kv_block, jmax=jmax, qg=qg,
-                              n_groups=G),
+            functools.partial(_csp_vmem_kernel, **kw),
             grid=(B * H,),
             in_specs=[
                 pl.BlockSpec((1, G, jmax), lambda b: (b, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, G), lambda b: (b, 0, 0),
                              memory_space=pltpu.SMEM),
+                *extra_specs,
                 pl.BlockSpec((1, Sq, D), lambda b: (b, 0, 0)),
                 pl.BlockSpec((1, Sk, D), lambda b: (b, 0, 0)),
                 pl.BlockSpec((1, Sk, D), lambda b: (b, 0, 0)),
@@ -300,18 +343,17 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                 pltpu.SemaphoreType.DMA((2, 2, jmax)),
             ],
             interpret=interpret,
-        )(indsf, countsf, qf, kf, vf)
+        )(indsf, countsf, *extra_in, qf, kf, vf)
     else:
         o = pl.pallas_call(
-            functools.partial(_csp_hbm_kernel, tau=common['tau'],
-                              kv_block=kv_block, jmax=jmax, qg=qg,
-                              n_groups=G),
+            functools.partial(_csp_hbm_kernel, **kw),
             grid=(B * H,),
             in_specs=[
                 pl.BlockSpec((1, G, jmax), lambda b: (b, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, G), lambda b: (b, 0, 0),
                              memory_space=pltpu.SMEM),
+                *extra_specs,
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -330,5 +372,5 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             ],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(indsf, countsf, qf, kf, vf)
+        )(indsf, countsf, *extra_in, qf, kf, vf)
     return o.reshape(B, H, Sq, D)

@@ -165,12 +165,13 @@ class FluxSparse:
     @staticmethod
     def build(ck: ChipmunkConfig, model: FluxModelConfig, seq_len: int,
               static_mask_tokens=None, batch: int = 1,
-              use_kernels: bool = True, interpret: bool = False
-              ) -> "FluxSparse":
+              use_kernels: bool = True, valid_len=None,
+              interpret: bool = False) -> "FluxSparse":
         img_len = seq_len - model.txt_len
         attn_d = SparseDiffAttn.build(ck.attn, seq_len,
                                       static_mask_tokens=static_mask_tokens,
                                       use_kernels=use_kernels,
+                                      valid_len=valid_len,
                                       interpret=interpret)
         # MLP caches fold batch into the token axis ([B*T, ...]): each batch
         # element owns its token blocks (the reference asserts B==1,

@@ -76,6 +76,15 @@ class HunyuanModelConfig:
     def seq_len(self) -> int:
         return self.img_len + self.txt_len
 
+    @property
+    def seq_pad(self) -> int:
+        """Zero tokens appended AFTER txt so the joint sequence is a
+        128-multiple: layout [img | txt | pad].  The pad tokens ride the
+        txt stream (core txt_len includes them) and are excluded as keys
+        via SparseDiffAttn.valid_len — the reference slices them off before
+        attention the same way (hyvideo attenion.py:106-117)."""
+        return (-self.seq_len) % 128
+
     def core(self) -> FluxModelConfig:
         pt, ph, pw = self.patch_size
         return FluxModelConfig(
@@ -85,7 +94,8 @@ class HunyuanModelConfig:
             mlp_ratio=self.mlp_ratio, depth=self.depth_double,
             depth_single_blocks=self.depth_single, axes_dim=self.axes_dim,
             theta=self.theta, qkv_bias=True,
-            guidance_embed=self.guidance_embed, txt_len=self.txt_len,
+            guidance_embed=self.guidance_embed,
+            txt_len=self.txt_len + self.seq_pad,
             txt_first=False, dtype=self.dtype)
 
 
@@ -150,7 +160,10 @@ class HunyuanModel:
     def __post_init__(self):
         t, h, w = self.cfg.grid
         # static mask: local voxel cube + text (reference
-        # initialize_static_mask, modules/attn.py:24-73), at the padded seq
+        # initialize_static_mask, modules/attn.py:24-73), built at the REAL
+        # [img|txt] layout — pad columns are appended at the END all-False,
+        # so text columns stay aligned at [img_len, img_len+txt_len) and
+        # pad tokens are never statically attended
         lv = self.ck.attn.local_voxels
         mask, _, _ = get_local_indices_with_text(
             vid_shape=(t, h, w), txt_len=self.cfg.txt_len,
@@ -164,19 +177,19 @@ class HunyuanModel:
                 self.cfg.img_len, mask.shape[1],
                 self.ck.attn.local_1d_window, qg=128)[:mask.shape[0]]
         seq = self.cfg.seq_len
-        pad = (-seq) % 128
+        pad = self.cfg.seq_pad
         self.seq_padded = seq + pad
-        g_pad = self.seq_padded // 128 - mask.shape[0]
-        if pad or g_pad > 0:
-            m = np.zeros((self.seq_padded // 128, self.seq_padded), bool)
-            m[:mask.shape[0], :mask.shape[1]] = mask
-            # padded query rows attend to the first kv tile (harmless)
-            m[mask.shape[0]:, :128] = True
-            mask = m
+        if pad:
+            # cdiv(seq,128) == seq_padded//128, so rows don't change: the
+            # final (partial) query group's mask row already exists
+            assert mask.shape[0] == self.seq_padded // 128
+            mask = np.concatenate(
+                [mask, np.zeros((mask.shape[0], pad), bool)], axis=1)
         self.static_mask = mask
         self.sp = FluxSparse.build(
             self.ck, self.cfg.core(), self.seq_padded,
             static_mask_tokens=jnp.asarray(mask),
+            valid_len=seq if pad else None,
             use_kernels=self.use_kernels, interpret=self.interpret)
 
     # ------------------------------------------------------------ tokens
@@ -233,13 +246,15 @@ class HunyuanModel:
         txt_ref = text_refiner(params['refiner'], txt.astype(cfg.dtype),
                                t_emb, cfg.num_heads)
         pe = pe if pe is not None else self.rope(B)
-        # pad img tail so seq is 128-aligned (padding tokens are appended
-        # AFTER img, before txt would break layout — we pad between img and
-        # txt: img | pad | txt, with static mask rows covering it)
-        pad = self.seq_padded - cfg.seq_len
+        # pad the TXT tail so seq is 128-aligned: layout [img | txt | pad].
+        # Pad keys are excluded from attention via valid_len; pad query
+        # outputs are sliced off below.
+        pad = cfg.seq_pad
         if pad:
-            img = jnp.concatenate(
-                [img, jnp.zeros((B, pad, img.shape[-1]), img.dtype)], axis=1)
+            txt_ref = jnp.concatenate(
+                [txt_ref,
+                 jnp.zeros((B, pad, txt_ref.shape[-1]), txt_ref.dtype)],
+                axis=1)
         core = cfg.core()
         pred, state2 = flux_forward(params, core, self.sp, img, txt_ref,
                                     t_vec, y, pe, state, step,

@@ -21,12 +21,24 @@ from .flux import FluxStep
 # schedule and shapes)
 _JIT_CACHE: Dict = {}
 
+_MODEL_TOKENS = iter(range(1 << 62))
+
+
+def _model_token(model) -> int:
+    """Unique per-instance cache token.  id(model) would be ambiguous if an
+    instance died and a new one reused its address; tokens never recycle."""
+    tok = getattr(model, '_jit_cache_token', None)
+    if tok is None:
+        tok = next(_MODEL_TOKENS)
+        object.__setattr__(model, '_jit_cache_token', tok)
+    return tok
+
 
 def _jit_step(model, step: FluxStep, tag: str):
     """One jitted model evaluation per (model, step-kind) for the host-loop
     samplers — eager tracing per step would dominate runtime."""
-    sig = (tag, id(model), step.full_attn, step.full_mlp, step.colsum,
-           step.recompute_mlp_mask, min(step.index, 2))
+    sig = (tag, _model_token(model), step.full_attn, step.full_mlp,
+           step.colsum, step.recompute_mlp_mask, min(step.index, 2))
     if sig not in _JIT_CACHE:
         if tag == 'hy-step':
             def fn(params, lat, txt, t_vec, y, state, g, key, pe,
@@ -147,7 +159,7 @@ def hunyuan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
     kinds = jnp.asarray(kind_ix, jnp.int32)
     xs = (jnp.arange(n), kinds, timesteps[:n], timesteps[1:n + 1])
 
-    cache_key = ('hunyuan', id(model), n, latents.shape, str(latents.dtype),
+    cache_key = ('hunyuan', _model_token(model), n, latents.shape, str(latents.dtype),
                  tuple(kind_ix), g is None)
     if cache_key not in _JIT_CACHE:
         def run(params, lat, state0, xs, txt, y, pe, g, key):
@@ -215,7 +227,7 @@ def wan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
     kinds = jnp.asarray(kind_ix, jnp.int32)
     xs = (jnp.arange(n), kinds, timesteps[:n], timesteps[1:n + 1])
 
-    cache_key = ('wan', id(model), n, latents.shape, str(latents.dtype),
+    cache_key = ('wan', _model_token(model), n, latents.shape, str(latents.dtype),
                  tuple(kind_ix), float(guide_scale))
     if cache_key not in _JIT_CACHE:
         def run(params, lat, st_c, st_u, xs, ctx_c, ctx_u, key):

@@ -149,15 +149,18 @@ class WanModel:
             vid_shape=(t, h, w), txt_len=0,
             voxel_shape=self.cfg.voxel_shape, local_shape=(lv, lv, lv),
             rk=0.0, kv_tile_size=self.ck.attn.counts_multiple_of)
-        if pad or mask.shape[0] < self.seq_padded // 128:
-            m = np.zeros((self.seq_padded // 128, self.seq_padded), bool)
-            m[:mask.shape[0], :mask.shape[1]] = mask
-            m[mask.shape[0]:, :128] = True
-            mask = m
+        if pad:
+            # cdiv(seq,128) == seq_padded//128: rows already cover the
+            # final partial group; pad columns appended all-False (pad
+            # keys are excluded from attention via valid_len)
+            assert mask.shape[0] == self.seq_padded // 128
+            mask = np.concatenate(
+                [mask, np.zeros((mask.shape[0], pad), bool)], axis=1)
         self.static_mask = mask
         self.attn_mod = SparseDiffAttn.build(
             self.ck.attn, self.seq_padded,
             static_mask_tokens=jnp.asarray(mask),
+            valid_len=seq if pad else None,
             use_kernels=self.use_kernels, interpret=self.interpret)
         self.mlp_mod = SparseDiffMlp.build(
             self.ck.mlp, self.batch * self.seq_padded, self.cfg.dim,

@@ -66,11 +66,18 @@ class SparseDiffAttn:
     sparse_query_groups: Optional[jnp.ndarray] = None  # bool [G, 1]
     use_kernels: bool = True
     interpret: bool = False
+    # number of REAL tokens when the model pads the sequence tail to a
+    # 128-multiple ([img|txt|pad] layout): keys past valid_len are excluded
+    # from every softmax and pad queries' lse is forced to PAD_LSE, matching
+    # the reference's slicing (hyvideo attenion.py:106-117) and padded-lse
+    # zeroing (modules/attn.py:117-129)
+    valid_len: Optional[int] = None
 
     @staticmethod
     def build(cfg: AttnConfig, seq_len: int,
               static_mask_tokens=None,
               use_kernels: bool = True,
+              valid_len: Optional[int] = None,
               interpret: bool = False) -> "SparseDiffAttn":
         """static_mask_tokens: optional bool [G, S] (voxel/1d-window/text
         mask from ops.voxel.get_local_indices_with_text)."""
@@ -105,36 +112,69 @@ class SparseDiffAttn:
             nb * cfg.max_selected_frac)
         jmax = max(min(need, cap, nb), 1)
         jmax = min(-(-jmax // mult_b) * mult_b, nb)
+        if valid_len is not None and valid_len >= seq_len:
+            valid_len = None
         return SparseDiffAttn(cfg=cfg, seq_len=seq_len, jmax=jmax,
                               sel_blocks=sel_blocks, static_mask=static_mask,
                               sparse_query_groups=sparse_qg,
-                              use_kernels=use_kernels, interpret=interpret)
+                              use_kernels=use_kernels, interpret=interpret,
+                              valid_len=valid_len)
 
     # ---------------------------------------------------------------- ops
+    def _fix_pad_lse(self, lse):
+        """Pad queries must carry PAD_LSE so their colsum contribution on
+        the next colsum step is exactly 0 (reference attn.py:117-129)."""
+        if self.valid_len is None:
+            return lse
+        return lse.at[..., self.valid_len:].set(PAD_LSE)
+
+    def _kv_mask(self, Sk):
+        if self.valid_len is None:
+            return None
+        return jnp.arange(Sk) < self.valid_len
+
     def _dense(self, q, k, v):
         if self.use_kernels:
-            return kernels.dense_attn(q, k, v, interpret=self.interpret)
-        return attn_ref.dense_attn_ref(q, k, v)
+            # the kernel masks keys >= sk_valid internally when the sliced
+            # KV length is not a tile multiple
+            kv = self.valid_len or k.shape[-2]
+            o, lse = kernels.dense_attn(q, k[..., :kv, :], v[..., :kv, :],
+                                        interpret=self.interpret)
+        else:
+            o, lse = attn_ref.dense_attn_ref(q, k, v,
+                                             kv_mask=self._kv_mask(
+                                                 k.shape[-2]))
+        return o, self._fix_pad_lse(lse)
 
     def _colsum(self, q, k, v, prev_lse):
+        nb_full = self.seq_len // self.cfg.kv_block
         if self.use_kernels:
             # bq must equal the query-group size: colsum rows ARE the
             # selection groups
-            return kernels.dense_colsum_attn(
-                q, k, v, prev_lse, bq=self.cfg.mbm,
+            kv = self.valid_len or k.shape[-2]
+            o, cs, lse = kernels.dense_colsum_attn(
+                q, k[..., :kv, :], v[..., :kv, :], prev_lse, bq=self.cfg.mbm,
                 score_block=self.cfg.kv_block,
                 interpret=self.interpret)
-        o, cs, lse = attn_ref.dense_colsum_attn_ref(q, k, v, prev_lse,
-                                                    self.cfg.mbm)
-        return o, indexing.blockify_scores(cs, self.cfg.kv_block), lse
+            if cs.shape[-1] < nb_full:   # pad block-score tail (never wins
+                cs = jnp.pad(cs,         # top-k: scores are >= 0)
+                             ((0, 0),) * 3 + ((0, nb_full - cs.shape[-1]),))
+        else:
+            o, cs, lse = attn_ref.dense_colsum_attn_ref(
+                q, k, v, prev_lse, self.cfg.mbm,
+                kv_mask=self._kv_mask(k.shape[-2]))
+            cs = indexing.blockify_scores(cs, self.cfg.kv_block)
+        return o, cs, self._fix_pad_lse(lse)
 
     def _csp(self, q, k, v, inds, counts):
         if self.use_kernels:
             return kernels.csp_attn(q, k, v, inds, counts, qg=self.cfg.mbm,
                                     kv_block=self.cfg.kv_block,
+                                    kv_valid=self.valid_len,
                                     interpret=self.interpret)
         return attn_ref.csp_block_attn_ref(q, k, v, inds, counts,
-                                           self.cfg.mbm, self.cfg.kv_block)
+                                           self.cfg.mbm, self.cfg.kv_block,
+                                           kv_valid=self.valid_len)
 
     def _select(self, colsums: jnp.ndarray, key: jax.Array
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -62,14 +62,18 @@ class SparseDiffMlp:
         n_tokens = -(-n_tokens // cfg.bm) * cfg.bm
         assert d_hidden % cfg.neuron_block == 0
         nb = d_hidden // cfg.neuron_block
-        keep = 1.0 - (1.0 - cfg.top_keys)  # = top_keys fraction kept
         sel = int(round(cfg.top_keys * d_hidden / cfg.counts_multiple_of)
                   * cfg.counts_multiple_of) // cfg.neuron_block
         sel = max(min(sel, nb), 1)
         cap = nb if cfg.max_selected_frac >= 1.0 else int(
             nb * cfg.max_selected_frac)
         mult_b = max(cfg.counts_multiple_of // cfg.neuron_block, 1)
-        jmax = min(max(cap, 1), nb)
+        # size jmax by actual need (top-k + random-keep margin), like
+        # SparseDiffAttn.build — mm1's grid runs jmax block-steps per token
+        # block, so oversizing wastes sparse-MLP FLOPs directly
+        rand_margin = (max(8, int(3 * cfg.random_keys * nb))
+                       if cfg.random_keys > 0 else 0)
+        jmax = max(min(sel + rand_margin, cap, nb), 1)
         jmax = min(-(-jmax // mult_b) * mult_b, nb)
         return SparseDiffMlp(cfg=cfg, n_tokens=n_tokens, d_model=d_model,
                              d_hidden=d_hidden, jmax=jmax, sel_blocks=sel,

@@ -68,6 +68,7 @@ def dense_attn_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def dense_colsum_attn_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           prev_lse: jnp.ndarray, qg: int,
+                          kv_mask: Optional[jnp.ndarray] = None,
                           ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Dense attention that also emits per-query-group column sums of the
     previous-step-normalized probability matrix.
@@ -77,11 +78,14 @@ def dense_colsum_attn_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     prev_lse: [B,H,Sq] fp32 log2-domain (PAD_LSE on padded rows).
     qg: query-group size (reference mbm=192; TPU default 128).
+    kv_mask: optional bool [Sk] marking valid KV rows.
     Returns (o, colsums [B,H,G,Sk] fp32, lse).
     """
     B, H, Sq, D = q.shape
     assert Sq % qg == 0, f"Sq={Sq} must be padded to a multiple of qg={qg}"
     s2 = _scores2(q, k)
+    if kv_mask is not None:
+        s2 = jnp.where(kv_mask[None, None, None, :], s2, -jnp.inf)
     # output + current-step lse (standard softmax)
     m = jnp.max(s2, axis=-1, keepdims=True)
     p = jnp.exp2(s2 - m)
@@ -139,12 +143,15 @@ def csp_attn_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def csp_block_attn_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                        block_inds: jnp.ndarray, block_counts: jnp.ndarray,
-                       qg: int, kv_block: int) -> jnp.ndarray:
+                       qg: int, kv_block: int,
+                       kv_valid: Optional[int] = None) -> jnp.ndarray:
     """Column-sparse attention with **block-granular** indices — the TPU-native
     operating point (each index selects ``kv_block`` contiguous KV rows, so
     gathers are whole-tile DMAs; see config.AttnConfig.kv_block).
 
     block_inds: int32 [B,H,G,J] block ids; block_counts: int32 [B,H,G].
+    kv_valid: optional static count of valid KV rows (model-level padding
+    tail excluded, matching kernels.csp_attn).
     Equivalent to csp_attn_ref with token inds expanded from blocks.
     """
     Sk = k.shape[-2]
@@ -152,6 +159,8 @@ def csp_block_attn_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     n_blocks = Sk // kv_block
     mask_b = _gather_mask_from_indices(block_inds, block_counts, n_blocks)
     mask = jnp.repeat(mask_b, kv_block, axis=-1)             # [B,H,G,Sk]
+    if kv_valid is not None and kv_valid < Sk:
+        mask = mask & (jnp.arange(Sk) < kv_valid)[None, None, None, :]
     B, H, Sq, D = q.shape
     mask = jnp.repeat(mask, qg, axis=2)
     s2 = jnp.where(mask, _scores2(q, k), -jnp.inf)

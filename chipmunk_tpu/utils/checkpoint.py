@@ -24,11 +24,18 @@ def save_pytree(path: str, tree: Any) -> None:
 
 
 def load_pytree(path: str, like: Any) -> Any:
-    """Load leaves saved by save_pytree into the structure of ``like``
-    (structure equality is asserted via leaf count/shape)."""
+    """Load leaves saved by save_pytree into the structure of ``like``.
+    Structure is verified against the stored treedef repr (catches
+    swapped same-shape leaves), and leaf shapes AND dtypes must match."""
     data = np.load(path)
     leaves, treedef = jax.tree_util.tree_flatten(like)
+    if "__treedef__" in data:
+        saved_def = bytes(data["__treedef__"]).decode()
+        assert saved_def == repr(treedef), (
+            f"checkpoint structure mismatch:\n saved: {saved_def}\n "
+            f"expected: {treedef!r}")
     loaded = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
     for a, b in zip(loaded, leaves):
         assert a.shape == b.shape, (a.shape, b.shape)
+        assert a.dtype == b.dtype, (a.dtype, b.dtype)
     return jax.tree_util.tree_unflatten(treedef, loaded)

@@ -127,3 +127,56 @@ def test_hunyuan_compiled_loop_runs():
                                      key=jax.random.PRNGKey(5))
     np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_l),
                                atol=2e-4, rtol=2e-4)
+
+
+def tiny_hunyuan_padded(sparse=True):
+    """txt_len=72 -> seq 328, pad 56 -> layout [img 256 | txt 72 | pad 56]."""
+    cfg = HunyuanModelConfig(
+        latent_t=8, latent_h=8, latent_w=16, in_channels=4,
+        patch_size=(1, 2, 2), hidden_size=128, num_heads=2, mlp_ratio=4.0,
+        depth_double=2, depth_single=2, axes_dim=(16, 24, 24), theta=256,
+        text_dim=64, txt_len=72, vec_in_dim=32, guidance_embed=False,
+        voxel_shape=(4, 4, 8), dtype=jnp.float32)
+    ck = config_from_dict({
+        'steps': 4,
+        'attn': {'top_keys': 0.3, 'kv_block': 32, 'counts_multiple_of': 32,
+                 'random_keys': 0.05, 'local_voxels': 1,
+                 'first_n_dense_layers': 1, 'is_enabled': sparse,
+                 'full_step_schedule': [0, 1, 3],
+                 'should_compress_indices': True, 'recompute_mask': True},
+        'mlp': {'is_enabled': False},
+        'step_caching': {'is_enabled': False},
+    })
+    return HunyuanModel(cfg=cfg, ck=ck, use_kernels=False)
+
+
+def test_hunyuan_padded_mask_text_alignment():
+    """Every query group must statically attend ALL real text columns, and
+    no pad column may be statically attended (advisor finding: the round-1
+    [img|pad|txt] layout shifted text columns onto pad tokens)."""
+    m = tiny_hunyuan_padded()
+    img, txt, seq = m.cfg.img_len, m.cfg.txt_len, m.cfg.seq_len
+    assert m.seq_padded - seq == 56
+    assert m.static_mask.shape == (m.seq_padded // 128, m.seq_padded)
+    assert m.static_mask[:, img:img + txt].all(), \
+        "some query group lost static attend-to-text coverage"
+    assert not m.static_mask[:, seq:].any(), \
+        "pad columns must not be statically attended"
+    assert m.sp.attn_d.valid_len == seq
+
+
+def test_hunyuan_padded_forward_runs_all_step_kinds():
+    m = tiny_hunyuan_padded()
+    params = init_hunyuan_params(jax.random.PRNGKey(0), m.cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    lat = jax.random.normal(ks[0], (1, 4, 8, 8, 16), jnp.float32)
+    txt = jax.random.normal(ks[1], (1, 72, 64), jnp.float32)
+    y = jax.random.normal(ks[2], (1, 32), jnp.float32)
+    state = m.init_state(1)
+    for i, kind in enumerate(step_plan(m.ck)):
+        step = FluxStep.of(kind, i)
+        t = jnp.full((1,), 1.0 - i / 4, jnp.float32)
+        pred, state = m.forward(params, lat, txt, t, y, state, step,
+                                key=jax.random.PRNGKey(i))
+        assert pred.shape == lat.shape
+        assert bool(jnp.isfinite(pred).all())

@@ -123,3 +123,33 @@ def test_csp_mlp_full_indices_equals_dense_delta():
     out1, _, pa1 = ops.dense_mlp_ref(x1, w1t.T, b1, w2, jnp.zeros((C,)), act)
     np.testing.assert_allclose(new_cache, pa1, atol=2e-3, rtol=2e-3)
     np.testing.assert_allclose(new_out, out1, atol=1e-2, rtol=1e-2)
+
+
+@pytest.mark.parametrize('mode', ['vmem', 'hbm'])
+def test_csp_attn_kv_valid_excludes_pad(mode):
+    """Keys past kv_valid (model-level padding tail) must not contribute:
+    perturbing them wildly cannot change the output, and the result matches
+    the block reference with the same kv_valid."""
+    b, h, s, d, kvb = 1, 2, 256, 128, 32
+    kv_valid = 200          # pad spans 56 tokens = 1 partial + 1 full block
+    q, k, v = rand_qkv(b, h, s, d)
+    nb = s // kvb
+    jmax = 6
+    ks = jax.random.split(jax.random.PRNGKey(7), 2)
+    scores = jax.random.uniform(ks[0], (b, h, s // 128, nb))
+    mask = ops.topk_mask(scores, 4)
+    # force the partial and the fully-invalid block into the selection
+    mask = mask.at[..., nb - 2:].set(True)
+    inds, counts = ops.mask_to_indices(mask, multiple_of=1)
+    inds, counts = inds[..., :jmax], jnp.clip(counts, 1, jmax)
+    o = csp_attn(q, k, v, inds, counts, qg=128, kv_block=kvb, mode=mode,
+                 kv_valid=kv_valid, interpret=True)
+    o_ref = ops.csp_block_attn_ref(q, k, v, inds, counts, 128, kvb,
+                                   kv_valid=kv_valid)
+    np.testing.assert_allclose(o, o_ref, atol=2e-3, rtol=2e-3)
+    # perturbation invariance
+    k2 = k.at[..., kv_valid:, :].set(100.0)
+    v2 = v.at[..., kv_valid:, :].set(-100.0)
+    o2 = csp_attn(q, k2, v2, inds, counts, qg=128, kv_block=kvb, mode=mode,
+                  kv_valid=kv_valid, interpret=True)
+    np.testing.assert_allclose(o, o2, atol=1e-6, rtol=1e-6)

@@ -145,3 +145,48 @@ def test_mlp_index_recompute_updates_bm_mid_only_at_selected():
     changed = np.asarray(st.bm_mid != bm_mid_before)
     # some neurons refreshed, some kept
     assert changed.any() and not changed.all()
+
+
+def test_attn_valid_len_pad_keys_inert():
+    """With valid_len set, wildly perturbing K/V in the pad tail must not
+    change any step's output for real queries, and pad queries' stored lse
+    must be PAD_LSE (so they contribute 0 to the next colsum selection)."""
+    from chipmunk_tpu.ops.attn_ref import PAD_LSE
+    cfg = AttnConfig(top_keys=0.4, kv_block=32, counts_multiple_of=32,
+                     random_keys=0.0, should_compress_indices=False)
+    B, H, S, D, valid = 1, 2, 256, 64, 200
+    mod = SparseDiffAttn.build(cfg, S, use_kernels=False, valid_len=valid)
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q, k, v = (jax.random.normal(kk, (B, H, S, D), jnp.float32) for kk in ks)
+    k2 = k.at[..., valid:, :].set(77.0)
+    v2 = v.at[..., valid:, :].set(-77.0)
+
+    st = mod.init_state(B, H, D, jnp.float32)
+    key = jax.random.PRNGKey(9)
+
+    def run(k, v):
+        s = st
+        outs = []
+        o, s = mod.full_step_first(q, k, v, s)
+        outs.append(o)
+        o, s = mod.full_step_colsum(q, k, v, s, key)
+        outs.append(o)
+        o, s = mod.sparse_step(q, k, v, s)
+        outs.append(o)
+        o, s = mod.full_step_plain(q, k, v, s)
+        outs.append(o)
+        return outs, s
+
+    from chipmunk_tpu.ops import attn_ref
+    outs1, s1 = run(k, v)
+    outs2, s2 = run(k2, v2)
+    for o1, o2 in zip(outs1, outs2):
+        np.testing.assert_allclose(np.asarray(o1[..., :valid, :]),
+                                   np.asarray(o2[..., :valid, :]),
+                                   atol=1e-6, rtol=1e-6)
+    assert (np.asarray(s1.lse)[..., valid:] == PAD_LSE).all()
+    # and the dense result matches plain attention over the valid keys only
+    o_ref, _ = attn_ref.dense_attn_ref(q[..., :valid, :], k[..., :valid, :],
+                                       v[..., :valid, :])
+    np.testing.assert_allclose(np.asarray(outs1[0][..., :valid, :]),
+                               np.asarray(o_ref), atol=1e-5, rtol=1e-5)
