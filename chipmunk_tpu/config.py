@@ -58,6 +58,10 @@ class MlpConfig:
     neuron_block: int = 128
     # TPU-only: cap on selected neuron blocks (static shape); fraction of N
     max_selected_frac: float = 0.5
+    # TPU-only: storage dtype for the [T, N] activation cache — the largest
+    # chipmunk cache (e.g. 'float8_e4m3fn' halves it vs bf16 at a small,
+    # measured quality cost; see utils/quant.py).  None = model dtype.
+    act_cache_dtype: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -81,6 +85,9 @@ class AttnConfig:
     kv_block: int = 128
     # TPU-only: cap on selected KV fraction (static shapes); 1.0 = no cap
     max_selected_frac: float = 0.5
+    # TPU-only: storage dtype for the [B,H,S,D] attention output cache.
+    # None = model dtype.
+    out_cache_dtype: Optional[str] = None
 
 
 @dataclass(frozen=True)

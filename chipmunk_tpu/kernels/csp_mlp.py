@@ -49,14 +49,27 @@ MM2_COUT_BLOCK = 1024
 
 
 def _mm1_kernel(inds_ref, counts_ref,           # scalar prefetch (SMEM)
-                x_ref, w1t_ref, b1_ref, cache_ref,
-                packed_ref, newcache_ref):
+                *refs, wq: bool = False):
+    if wq:
+        (x_ref, w1t_ref, ws_ref, b1_ref, cache_ref,
+         packed_ref, newcache_ref) = refs
+    else:
+        ws_ref = None
+        x_ref, w1t_ref, b1_ref, cache_ref, packed_ref, newcache_ref = refs
     m, j = pl.program_id(0), pl.program_id(1)
     valid = j < counts_ref[m]
     x = x_ref[:]                                  # [BM, C] bf16
-    w = w1t_ref[:]                                # [bn, C] bf16
+    w = w1t_ref[:]                                # [bn, C] bf16 | fp8 | int8
+    if wq:
+        # quantized weights: per-out-row scale folded AFTER the matmul
+        # ([BM,bn] multiply beats dequantizing the [bn,C] block; the
+        # reference's fp8 Triton mm1 fuses scales the same way,
+        # triton/csp_mlp_mm1.py:122-130)
+        w = w.astype(x.dtype)
     mid = jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
+    if wq:
+        mid = mid * ws_ref[0]
     mid = mid + b1_ref[0].astype(jnp.float32)
     act = jax.nn.gelu(mid, approximate=True).astype(cache_ref.dtype)
 
@@ -84,20 +97,35 @@ def csp_mlp_mm1(x: jnp.ndarray, w1t: jnp.ndarray, b1: jnp.ndarray,
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Stage-1 sparse MLP.
 
-    x: [T, C]; w1t: [N, C] (fc1 weight, output-major); b1: [N];
-    act_cache: [T, N]; inds: int32 [M, jmax] neuron-block ids;
-    counts: int32 [M];  M = T // bm.
+    x: [T, C]; w1t: [N, C] (fc1 weight, output-major) — a plain array or a
+    utils.quant.QTensor (fp8/int8 + per-row scale; the gathered block is
+    converted in-kernel and the scale folded into the fp32 accumulator);
+    b1: [N]; act_cache: [T, N] (bf16 or fp8 — fp8 halves the dominant
+    chipmunk cache, see utils/quant.py); inds: int32 [M, jmax] neuron-block
+    ids; counts: int32 [M];  M = T // bm.
     Returns (packed [T, jmax*bn] delta, new act_cache [T, N]).
     act_cache is donated/aliased into the new cache.
     """
+    from ..utils.quant import QTensor
     T, C = x.shape
-    N = w1t.shape[0]
+    wq = isinstance(w1t, QTensor)
+    if wq:
+        assert w1t.pack_axis is None, "csp_mlp: int4-packed weights unsupported"
+        w1q, w1s = w1t.q, w1t.scale
+    else:
+        w1q, w1s = w1t, None
+    N = w1q.shape[0]
     assert T % bm == 0 and N % bn == 0
     M, jmax = inds.shape
     assert M == T // bm, (M, T, bm)
     counts = jnp.clip(counts, 1, jmax).astype(jnp.int32)
     inds = pad_block_indices(inds, counts).astype(jnp.int32)
     b1r = b1.reshape(N // bn, 1, bn)
+    extra_in, extra_specs = (), ()
+    if wq:
+        extra_in = (w1s.astype(jnp.float32).reshape(N // bn, 1, bn),)
+        extra_specs = (pl.BlockSpec((1, 1, bn),
+                                    lambda m, j, I, c: (I[m, j], 0, 0)),)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -105,6 +133,7 @@ def csp_mlp_mm1(x: jnp.ndarray, w1t: jnp.ndarray, b1: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((bm, C), lambda m, j, I, c: (m, 0)),
             pl.BlockSpec((bn, C), lambda m, j, I, c: (I[m, j], 0)),
+            *extra_specs,
             pl.BlockSpec((1, 1, bn), lambda m, j, I, c: (I[m, j], 0, 0)),
             pl.BlockSpec((bm, bn), lambda m, j, I, c: (m, I[m, j])),
         ],
@@ -114,22 +143,26 @@ def csp_mlp_mm1(x: jnp.ndarray, w1t: jnp.ndarray, b1: jnp.ndarray,
         ],
     )
     packed, new_cache = pl.pallas_call(
-        _mm1_kernel,
+        functools.partial(_mm1_kernel, wq=wq),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, jmax * bn), x.dtype),
             jax.ShapeDtypeStruct((T, N), act_cache.dtype),
         ],
-        # inputs: [inds, counts, x, w1t, b1r, act_cache] -> alias cache->out1
-        input_output_aliases={5: 1},
+        # alias act_cache (last input) into the refreshed cache output
+        input_output_aliases={5 + len(extra_in): 1},
         interpret=interpret,
-    )(inds, counts, x, w1t, b1r, act_cache)
+    )(inds, counts, x, w1q, *extra_in, b1r, act_cache)
     return packed, new_cache
 
 
 def _mm2_kernel(inds_ref, counts_ref,
-                packed_ref, w2_ref, outin_ref,
-                out_ref, acc_ref):
+                *refs, wq: bool = False):
+    if wq:
+        packed_ref, w2_ref, ws_ref, outin_ref, out_ref, acc_ref = refs
+    else:
+        ws_ref = None
+        packed_ref, w2_ref, outin_ref, out_ref, acc_ref = refs
     m, co, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     nj = pl.num_programs(2)
     valid = j < counts_ref[m]
@@ -140,8 +173,15 @@ def _mm2_kernel(inds_ref, counts_ref,
 
     @pl.when(valid)
     def _():
+        a = packed_ref[:]
+        w = w2_ref[:]
+        if wq:
+            # per-N-row scale folded into the packed operand ([bm,bn]
+            # multiply, cheaper than dequantizing the [bn,cb] block)
+            a = a * ws_ref[0].astype(a.dtype)
+            w = w.astype(a.dtype)
         acc_ref[:] += jax.lax.dot_general(
-            packed_ref[:], w2_ref[:], (((1,), (0,)), ((), ())),
+            a, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(j == nj - 1)
@@ -156,18 +196,31 @@ def csp_mlp_mm2(packed: jnp.ndarray, w2: jnp.ndarray, out_cache: jnp.ndarray,
                 interpret: bool = False) -> jnp.ndarray:
     """Stage-2 sparse MLP: out_cache += packed @ w2[selected rows].
 
-    packed: [T, jmax*bn]; w2: [N, Cout]; out_cache: [T, Cout] (donated).
-    The output dim is blocked (MM2_COUT_BLOCK) so the fp32 accumulator fits
-    VMEM at large bm.  Returns the updated out_cache.
+    packed: [T, jmax*bn]; w2: [N, Cout] — plain array or QTensor (fp8/int8
+    + per-N-row scale); out_cache: [T, Cout] (donated).  The output dim is
+    blocked (MM2_COUT_BLOCK) so the fp32 accumulator fits VMEM at large bm.
+    Returns the updated out_cache.
     """
+    from ..utils.quant import QTensor
     T, _ = packed.shape
-    N, Cout = w2.shape
+    wq = isinstance(w2, QTensor)
+    if wq:
+        assert w2.pack_axis is None, "csp_mlp: int4-packed weights unsupported"
+        w2q, w2s = w2.q, w2.scale
+    else:
+        w2q, w2s = w2, None
+    N, Cout = w2q.shape
     M, jmax = inds.shape
     assert M == T // bm
     counts = jnp.clip(counts, 1, jmax).astype(jnp.int32)
     inds = pad_block_indices(inds, counts).astype(jnp.int32)
     cb = min(MM2_COUT_BLOCK, Cout)
     assert Cout % cb == 0
+    extra_in, extra_specs = (), ()
+    if wq:
+        extra_in = (w2s.astype(jnp.float32).reshape(N // bn, 1, bn),)
+        extra_specs = (pl.BlockSpec((1, 1, bn),
+                                    lambda m, co, j, I, c: (I[m, j], 0, 0)),)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -175,18 +228,19 @@ def csp_mlp_mm2(packed: jnp.ndarray, w2: jnp.ndarray, out_cache: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((bm, bn), lambda m, co, j, I, c: (m, j)),
             pl.BlockSpec((bn, cb), lambda m, co, j, I, c: (I[m, j], co)),
+            *extra_specs,
             pl.BlockSpec((bm, cb), lambda m, co, j, I, c: (m, co)),
         ],
         out_specs=pl.BlockSpec((bm, cb), lambda m, co, j, I, c: (m, co)),
         scratch_shapes=[pltpu.VMEM((bm, cb), jnp.float32)],
     )
     out = pl.pallas_call(
-        _mm2_kernel,
+        functools.partial(_mm2_kernel, wq=wq),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, Cout), out_cache.dtype),
-        input_output_aliases={4: 0},  # out_cache -> out
+        input_output_aliases={4 + len(extra_in): 0},  # out_cache -> out
         interpret=interpret,
-    )(inds, counts, packed, w2, out_cache)
+    )(inds, counts, packed, w2q, *extra_in, out_cache)
     return out
 
 

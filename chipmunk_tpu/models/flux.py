@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from ..config import ChipmunkConfig
 from ..modules import SparseDiffAttn, SparseDiffMlp, AttnState, MlpState
 from ..schedule import StepKind
+from ..utils.quant import dequant
 from .layers import (apply_rope, init_linear, init_mlp_embedder,
                      layernorm, linear, mlp_embedder, modulation, rmsnorm,
                      timestep_embedding)
@@ -289,6 +290,138 @@ class FluxStep:
                         recompute_mlp_mask=kind.recompute_mlp_mask)
 
 
+def _tree_at(tree, idx):
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.dynamic_index_in_dim(x, idx, 0,
+                                               keepdims=False), tree)
+
+
+def _tree_put(tree, new, idx):
+    return jax.tree_util.tree_map(
+        lambda full, n: jax.lax.dynamic_update_index_in_dim(
+            full, n.astype(full.dtype), idx, 0), tree, new)
+
+
+def double_block(cfg: FluxModelConfig, sp: FluxSparse, p: Dict,
+                 img, txt, vec, cos, sin, ast: AttnState, mst: MlpState,
+                 idx, step: FluxStep, lkey):
+    """One double-stream (MMDiT) block (reference layers.py:164-202)."""
+    H, dt = cfg.num_heads, cfg.dtype
+    (im1, it1) = modulation(p['img_mod'], vec, 2)
+    (tm1, tt1) = modulation(p['txt_mod'], vec, 2)
+
+    img_mod = (1 + im1[1]) * layernorm(img) + im1[0]
+    txt_mod = (1 + tm1[1]) * layernorm(txt) + tm1[0]
+
+    iq, ik, iv = jnp.split(linear(p['img_qkv'], img_mod), 3, axis=-1)
+    tq, tk, tv = jnp.split(linear(p['txt_qkv'], txt_mod), 3, axis=-1)
+    iq, ik, iv = (_split_heads(x, H) for x in (iq, ik, iv))
+    tq, tk, tv = (_split_heads(x, H) for x in (tq, tk, tv))
+    iq = rmsnorm(iq, p['img_qnorm'])
+    ik = rmsnorm(ik, p['img_knorm'])
+    tq = rmsnorm(tq, p['txt_qnorm'])
+    tk = rmsnorm(tk, p['txt_knorm'])
+    if cfg.txt_first:
+        q = jnp.concatenate([tq, iq], axis=2)
+        k = jnp.concatenate([tk, ik], axis=2)
+        v = jnp.concatenate([tv, iv], axis=2)
+    else:
+        # rope applies to img positions only in hunyuan (txt has no pe)
+        q = jnp.concatenate([iq, tq], axis=2)
+        k = jnp.concatenate([ik, tk], axis=2)
+        v = jnp.concatenate([iv, tv], axis=2)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    attn_dense = idx < sp.n_dense_attn_double
+    o, ast2 = _attn_call(sp.attn_d, q, k, v, ast, step, attn_dense,
+                         lkey, ulysses=sp.ulysses)
+    o = _merge_heads(o)
+    if cfg.txt_first:
+        txt_o, img_o = o[:, :cfg.txt_len], o[:, cfg.txt_len:]
+    else:
+        img_o, txt_o = o[:, :-cfg.txt_len], o[:, -cfg.txt_len:]
+
+    img = img + im1[2] * linear(p['img_proj'], img_o)
+    txt = txt + tm1[2] * linear(p['txt_proj'], txt_o)
+
+    # img MLP (sparse), txt MLP (dense — small)
+    img_mod2 = (1 + it1[1]) * layernorm(img) + it1[0]
+    mlp_dense = idx < sp.n_dense_mlp_double
+    mo, mst2 = _mlp_call(sp.mlp_d,
+                         img_mod2.reshape(-1, img_mod2.shape[-1]),
+                         p['img_w1t'], p['img_b1'],
+                         p['img_w2'], p['img_b2'], mst, step, mlp_dense,
+                         jax.random.fold_in(lkey, 1))
+    img = img + it1[2] * mo.reshape(img.shape)
+
+    txt_mod2 = (1 + tt1[1]) * layernorm(txt) + tt1[0]
+    tmid = (txt_mod2 @ dequant(p['txt_w1t'], dt).T
+            + p['txt_b1'].astype(dt))
+    tact = jax.nn.gelu(tmid.astype(jnp.float32), approximate=True
+                       ).astype(dt)
+    txt = txt + tt1[2] * (tact @ dequant(p['txt_w2'], dt)
+                          + p['txt_b2'].astype(dt))
+    return img, txt, ast2, mst2
+
+
+def single_block(cfg: FluxModelConfig, sp: FluxSparse, p: Dict,
+                 x, vec, cos, sin, ast: AttnState, mst: MlpState,
+                 idx, step: FluxStep, lkey):
+    """One single-stream block with pre-split linear1/linear2
+    (reference layers.py:239-308)."""
+    H, dt = cfg.num_heads, cfg.dtype
+    ((sh, sc, gate),) = modulation(p['mod'], vec, 1)
+    x_mod = (1 + sc) * layernorm(x) + sh
+
+    qkv = linear(p['qkv'], x_mod)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (_split_heads(z, H) for z in (q, k, v))
+    q = rmsnorm(q, p['qnorm'])
+    k = rmsnorm(k, p['knorm'])
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    attn_dense = idx < sp.n_dense_attn_single
+    o, ast2 = _attn_call(sp.attn_s, q, k, v, ast, step, attn_dense,
+                         lkey, ulysses=sp.ulysses)
+    attn_out = linear(p['o_proj'], _merge_heads(o))
+
+    mlp_dense = idx < sp.n_dense_mlp_single
+    mo, mst2 = _mlp_call(sp.mlp_s, x_mod.reshape(-1, x_mod.shape[-1]),
+                         p['w1t'], p['b1'], p['w2'],
+                         jnp.zeros((cfg.hidden_size,), dt), mst, step,
+                         mlp_dense, jax.random.fold_in(lkey, 1))
+    x = x + gate * (attn_out + mo.reshape(x.shape))
+    return x, ast2, mst2
+
+
+def flux_embed(params: Dict, cfg: FluxModelConfig, img, txt, timesteps, y,
+               guidance=None):
+    """Input embedders: returns (img tokens, txt tokens, vec)
+    (reference model.py:100-108)."""
+    dt = cfg.dtype
+    vec = mlp_embedder(params['time_in'],
+                       timestep_embedding(timesteps, 256).astype(dt))
+    if cfg.guidance_embed:
+        assert guidance is not None
+        vec = vec + mlp_embedder(params['guidance_in'],
+                                 timestep_embedding(guidance, 256).astype(dt))
+    vec = vec + mlp_embedder(params['vector_in'], y.astype(dt))
+    img = linear(params['img_in'], img.astype(dt))
+    txt = linear(params['txt_in'], txt.astype(dt))
+    return img, txt, vec
+
+
+def flux_final(params: Dict, cfg: FluxModelConfig, x, vec):
+    """Final adaLN + projection (reference model.py:131-132)."""
+    img = x[:, cfg.txt_len:] if cfg.txt_first else x[:, :-cfg.txt_len]
+    mod_out = linear(params['final_mod'], jax.nn.silu(vec))
+    shift, scale = jnp.split(mod_out[:, None, :], 2, axis=-1)
+    img = (1 + scale) * layernorm(img) + shift
+    return linear(params['final_proj'], img)
+
+
 def flux_forward(params: Dict, cfg: FluxModelConfig, sp: FluxSparse,
                  img: jnp.ndarray, txt: jnp.ndarray,
                  timesteps: jnp.ndarray, y: jnp.ndarray,
@@ -302,91 +435,32 @@ def flux_forward(params: Dict, cfg: FluxModelConfig, sp: FluxSparse,
     img: [B, S_img, in_ch] (already patch-reordered), txt: [B, txt_len,
     ctx_dim], y: [B, vec_in], pe: rope (cos, sin) for the joint sequence.
     Returns (prediction [B, S_img, in_ch], new state).
+
+    Per-layer cache state is NOT scanned as xs/ys (scan would allocate a
+    second stacked buffer for the ys — 3GB+ at full FLUX depth): the whole
+    stacked state rides the carry and is sliced/written in place with
+    dynamic_update_index_in_dim, which XLA aliases inside the while loop.
     """
-    B = img.shape[0]
-    H = cfg.num_heads
-    dt = cfg.dtype
     key = key if key is not None else jax.random.PRNGKey(0)
-
-    vec = mlp_embedder(params['time_in'],
-                       timestep_embedding(timesteps, 256).astype(dt))
-    if cfg.guidance_embed:
-        assert guidance is not None
-        vec = vec + mlp_embedder(params['guidance_in'],
-                                 timestep_embedding(guidance, 256).astype(dt))
-    vec = vec + mlp_embedder(params['vector_in'], y.astype(dt))
-
-    img = linear(params['img_in'], img.astype(dt))
-    txt = linear(params['txt_in'], txt.astype(dt))
+    img, txt, vec = flux_embed(params, cfg, img, txt, timesteps, y, guidance)
     cos, sin = pe
-
-    kd, ks_, kfinal = jax.random.split(key, 3)
+    kd, ks_, _ = jax.random.split(key, 3)
 
     # ---------------------------------------------------- double blocks
     def double_body(carry, xs):
-        img, txt = carry
-        p, ast, mst, idx = xs
-        lkey = jax.random.fold_in(kd, idx)
-
-        (im1, it1) = modulation(p['img_mod'], vec, 2)
-        (tm1, tt1) = modulation(p['txt_mod'], vec, 2)
-
-        img_mod = (1 + im1[1]) * layernorm(img) + im1[0]
-        txt_mod = (1 + tm1[1]) * layernorm(txt) + tm1[0]
-
-        iq, ik, iv = jnp.split(linear(p['img_qkv'], img_mod), 3, axis=-1)
-        tq, tk, tv = jnp.split(linear(p['txt_qkv'], txt_mod), 3, axis=-1)
-        iq, ik, iv = (_split_heads(x, H) for x in (iq, ik, iv))
-        tq, tk, tv = (_split_heads(x, H) for x in (tq, tk, tv))
-        iq = rmsnorm(iq, p['img_qnorm'])
-        ik = rmsnorm(ik, p['img_knorm'])
-        tq = rmsnorm(tq, p['txt_qnorm'])
-        tk = rmsnorm(tk, p['txt_knorm'])
-        if cfg.txt_first:
-            q = jnp.concatenate([tq, iq], axis=2)
-            k = jnp.concatenate([tk, ik], axis=2)
-            v = jnp.concatenate([tv, iv], axis=2)
-        else:
-            # rope applies to img positions only in hunyuan (txt has no pe)
-            q = jnp.concatenate([iq, tq], axis=2)
-            k = jnp.concatenate([ik, tk], axis=2)
-            v = jnp.concatenate([iv, tv], axis=2)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-
-        attn_dense = idx < sp.n_dense_attn_double
-        o, ast2 = _attn_call(sp.attn_d, q, k, v, ast, step, attn_dense,
-                             lkey, ulysses=sp.ulysses)
-        o = _merge_heads(o)
-        if cfg.txt_first:
-            txt_o, img_o = o[:, :cfg.txt_len], o[:, cfg.txt_len:]
-        else:
-            img_o, txt_o = o[:, :-cfg.txt_len], o[:, -cfg.txt_len:]
-
-        img = img + im1[2] * linear(p['img_proj'], img_o)
-        txt = txt + tm1[2] * linear(p['txt_proj'], txt_o)
-
-        # img MLP (sparse), txt MLP (dense — small)
-        img_mod2 = (1 + it1[1]) * layernorm(img) + it1[0]
-        mlp_dense = idx < sp.n_dense_mlp_double
-        mo, mst2 = _mlp_call(sp.mlp_d,
-                             img_mod2.reshape(-1, img_mod2.shape[-1]),
-                             p['img_w1t'], p['img_b1'],
-                             p['img_w2'], p['img_b2'], mst, step, mlp_dense,
-                             jax.random.fold_in(lkey, 1))
-        img = img + it1[2] * mo.reshape(img.shape)
-
-        txt_mod2 = (1 + tt1[1]) * layernorm(txt) + tt1[0]
-        tmid = txt_mod2 @ p['txt_w1t'].T + p['txt_b1'].astype(dt)
-        tact = jax.nn.gelu(tmid.astype(jnp.float32), approximate=True
-                           ).astype(dt)
-        txt = txt + tt1[2] * (tact @ p['txt_w2'] + p['txt_b2'].astype(dt))
-        return (img, txt), (ast2, mst2)
+        img, txt, d_attn, d_mlp = carry
+        p, idx = xs
+        img, txt, ast2, mst2 = double_block(
+            cfg, sp, p, img, txt, vec, cos, sin,
+            _tree_at(d_attn, idx), _tree_at(d_mlp, idx), idx, step,
+            jax.random.fold_in(kd, idx))
+        return (img, txt, _tree_put(d_attn, ast2, idx),
+                _tree_put(d_mlp, mst2, idx)), None
 
     idx_d = jnp.arange(cfg.depth)
-    (img, txt), (d_attn2, d_mlp2) = jax.lax.scan(
-        double_body, (img, txt),
-        (params['double'], state.double_attn, state.double_mlp, idx_d))
+    (img, txt, d_attn2, d_mlp2), _ = jax.lax.scan(
+        double_body, (img, txt, state.double_attn, state.double_mlp),
+        (params['double'], idx_d))
 
     # ---------------------------------------------------- single blocks
     if cfg.txt_first:
@@ -395,46 +469,21 @@ def flux_forward(params: Dict, cfg: FluxModelConfig, sp: FluxSparse,
         x = jnp.concatenate([img, txt], axis=1)
 
     def single_body(carry, xs):
-        x = carry
-        p, ast, mst, idx = xs
-        lkey = jax.random.fold_in(ks_, idx)
-        ((sh, sc, gate),) = modulation(p['mod'], vec, 1)
-        x_mod = (1 + sc) * layernorm(x) + sh
-
-        qkv = linear(p['qkv'], x_mod)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q, k, v = (_split_heads(z, H) for z in (q, k, v))
-        q = rmsnorm(q, p['qnorm'])
-        k = rmsnorm(k, p['knorm'])
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-
-        attn_dense = idx < sp.n_dense_attn_single
-        o, ast2 = _attn_call(sp.attn_s, q, k, v, ast, step, attn_dense,
-                             lkey, ulysses=sp.ulysses)
-        attn_out = linear(p['o_proj'], _merge_heads(o))
-
-        mlp_dense = idx < sp.n_dense_mlp_single
-        mo, mst2 = _mlp_call(sp.mlp_s, x_mod.reshape(-1, x_mod.shape[-1]),
-                             p['w1t'], p['b1'], p['w2'],
-                             jnp.zeros((cfg.hidden_size,), dt), mst, step,
-                             mlp_dense, jax.random.fold_in(lkey, 1))
-        x = x + gate * (attn_out + mo.reshape(x.shape))
-        return x, (ast2, mst2)
+        x, s_attn, s_mlp = carry
+        p, idx = xs
+        x, ast2, mst2 = single_block(
+            cfg, sp, p, x, vec, cos, sin,
+            _tree_at(s_attn, idx), _tree_at(s_mlp, idx), idx, step,
+            jax.random.fold_in(ks_, idx))
+        return (x, _tree_put(s_attn, ast2, idx),
+                _tree_put(s_mlp, mst2, idx)), None
 
     idx_s = jnp.arange(cfg.depth_single_blocks)
-    x, (s_attn2, s_mlp2) = jax.lax.scan(
-        single_body, x,
-        (params['single'], state.single_attn, state.single_mlp, idx_s))
+    (x, s_attn2, s_mlp2), _ = jax.lax.scan(
+        single_body, (x, state.single_attn, state.single_mlp),
+        (params['single'], idx_s))
 
-    img = x[:, cfg.txt_len:] if cfg.txt_first else x[:, :-cfg.txt_len]
-
-    # ------------------------------------------------------- final layer
-    mod_out = linear(params['final_mod'], jax.nn.silu(vec))
-    shift, scale = jnp.split(mod_out[:, None, :], 2, axis=-1)
-    img = (1 + scale) * layernorm(img) + shift
-    pred = linear(params['final_proj'], img)
-
+    pred = flux_final(params, cfg, x, vec)
     return pred, FluxState(double_attn=d_attn2, double_mlp=d_mlp2,
                            single_attn=s_attn2, single_mlp=s_mlp2)
 

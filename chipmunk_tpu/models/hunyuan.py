@@ -264,3 +264,56 @@ class HunyuanModel:
 
     def init_state(self, B: int) -> FluxState:
         return self.sp.init_state(self.cfg.core(), B)
+
+    # ------------------------------------------------ streamed (offload)
+    def make_streamed(self, n_chunks_double: int = 2,
+                      n_chunks_single: int = 4, B: int = 1):
+        """Host-offloaded runner honoring the config's ``offloading:``
+        block (reference hunyuan chipmunk-config.yml offloads attention
+        out_cache + indices; models.py:796-828).  Returns (runner, state):
+        pass both to ``video_sampling.hunyuan_denoise(..., streamed=...)``.
+        """
+        from .streamed import StreamedFluxRunner, StreamedFluxState
+        from ..utils.offload import OffloadPolicy
+        runner = StreamedFluxRunner(cfg=self.cfg.core(), sp=self.sp,
+                                    n_chunks_double=n_chunks_double,
+                                    n_chunks_single=n_chunks_single)
+        policy = OffloadPolicy.from_config(self.ck.offloading)
+        sst = StreamedFluxState.create(self.init_state(B), n_chunks_double,
+                                       n_chunks_single, policy)
+        return runner, sst
+
+    def prep_tokens(self, params: Dict, latents, txt, t_vec):
+        """Patchify + text refiner + txt pad: the jittable front half of
+        forward(), shared by the streamed path."""
+        cfg = self.cfg
+        B = latents.shape[0]
+        img = self.patchify_video(latents)
+        t_emb = timestep_embedding(t_vec, 256).astype(cfg.dtype)
+        txt_ref = text_refiner(params['refiner'], txt.astype(cfg.dtype),
+                               t_emb, cfg.num_heads)
+        if cfg.seq_pad:
+            txt_ref = jnp.concatenate(
+                [txt_ref, jnp.zeros((B, cfg.seq_pad, txt_ref.shape[-1]),
+                                    txt_ref.dtype)], axis=1)
+        return img, txt_ref
+
+    def forward_streamed(self, params: Dict, latents, txt, t_vec, y,
+                         runner, sst, step: FluxStep,
+                         guidance=None, key=None, pe=None):
+        """Streamed equivalent of forward(): per-layer caches live host-
+        side in chunks (mutated in ``sst``); compute streams layer-chunk by
+        layer-chunk.  Returns the velocity prediction only."""
+        B = latents.shape[0]
+        cfg = self.cfg
+        if not hasattr(self, '_prep_jit'):
+            self._prep_jit = jax.jit(self.prep_tokens)
+        img, txt_ref = self._prep_jit(params, latents, txt, t_vec)
+        pe = pe if pe is not None else self.rope(B)
+        pred = runner.forward(params, sst, img, txt_ref, t_vec, y, pe,
+                              step, guidance=guidance, key=key)
+        if not hasattr(self, '_post_jit'):
+            self._post_jit = jax.jit(
+                lambda p, B: self.unpatchify_video(p[:, :self.cfg.img_len],
+                                                   B), static_argnums=1)
+        return self._post_jit(pred, B)

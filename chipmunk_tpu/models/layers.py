@@ -12,9 +12,11 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..utils.quant import dequant
+
 
 def linear(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
-    y = x @ p['w']
+    y = x @ dequant(p['w'], x.dtype)
     if 'b' in p:
         y = y + p['b'].astype(y.dtype)
     return y

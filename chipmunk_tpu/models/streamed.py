@@ -1,0 +1,217 @@
+"""Host-offloaded, layer-chunked FLUX-core forward.
+
+TPU-native rebuild of the reference's per-layer cache offload pipeline
+(reference: hunyuan models.py:796-828, flux model.py:115-127,
+offloaded_tensor.py:90-178 — PIPELINE_DEPTH=2 sliding window of GPU slots,
+async copies on dedicated streams).  Here the layer loop is decomposed into
+**layer-chunk programs**: per-layer cache state lives host-side
+(memory_kind "pinned_host") split into C chunks along the layer axis; the
+host loop fetches chunk i+1 asynchronously while chunk i computes and pushes
+chunk i's updated state back — `jax.device_put` is the stream.  Device cache
+residency drops from O(L) to O(L/C + prefetch window), which is what lets
+video-scale footprints (44GB of attention caches at HunyuanVideo's 119k
+sequence, SURVEY.md §5) exceed HBM.
+
+Which tensors go host-side follows the reference's `offloading:` config
+block (util/config.py:55-70 → config.OffloadingConfig → OffloadPolicy):
+non-offloaded leaves stay device-resident inside the same chunk structure.
+
+Correctness contract: a streamed run is BIT-IDENTICAL to the resident
+`flux_forward` — same block math, same keys, same state updates (test:
+tests/test_streamed_forward.py).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.offload import OffloadPolicy, offload_to_host, fetch_to_device
+from .flux import (FluxModelConfig, FluxSparse, FluxState, FluxStep,
+                   double_block, single_block, flux_embed, flux_final,
+                   _tree_at, _tree_put)
+
+def _host_flags(policy: OffloadPolicy):
+    """Per-field host-placement flags for an (AttnState, MlpState) chunk —
+    explicit field mapping, not path-name sniffing (NamedTuple key paths
+    don't carry field names reliably).  ``packed`` follows attn_indices:
+    it IS the compressed index storage."""
+    from ..modules import AttnState, MlpState
+    a = AttnState(out_cache=policy.wants_host('attn_out_cache'),
+                  lse=policy.wants_host('attn_lse'),
+                  inds=policy.wants_host('attn_indices'),
+                  counts=policy.wants_host('attn_counts'),
+                  packed=policy.wants_host('attn_indices'))
+    m = MlpState(out_cache=policy.wants_host('mlp_out_cache'),
+                 act_cache=policy.wants_host('mlp_act_cache'),
+                 bm_mid=policy.wants_host('mlp_bm_mid'),
+                 inds=policy.wants_host('mlp_indices'),
+                 counts=policy.wants_host('mlp_counts'))
+    return (a, m)
+
+
+def _placed(tree, policy: OffloadPolicy, to_host: bool):
+    """Move policy-selected leaves of an (AttnState, MlpState) chunk
+    host-side (or back)."""
+    flags = _host_flags(policy)
+    return jax.tree_util.tree_map(
+        lambda x, f: ((offload_to_host(x) if to_host
+                       else fetch_to_device(x)) if f else x),
+        tree, flags)
+
+
+def _chunk(tree, n: int) -> List:
+    L = jax.tree_util.tree_leaves(tree)[0].shape[0]
+    assert L % n == 0, (L, n)
+    c = L // n
+    return [jax.tree_util.tree_map(lambda x: x[i * c:(i + 1) * c], tree)
+            for i in range(n)]
+
+
+@dataclass
+class StreamedFluxState:
+    """FluxState split into per-chunk pytrees with policy-selected leaves
+    host-resident between steps."""
+    double: List            # list of (AttnState, MlpState) chunk pairs
+    single: List
+    policy: OffloadPolicy
+
+    @staticmethod
+    def create(state: FluxState, n_chunks_double: int, n_chunks_single: int,
+               policy: OffloadPolicy) -> "StreamedFluxState":
+        dbl = [_placed(c, policy, True)
+               for c in _chunk((state.double_attn, state.double_mlp),
+                               n_chunks_double)]
+        sgl = [_placed(c, policy, True)
+               for c in _chunk((state.single_attn, state.single_mlp),
+                               n_chunks_single)]
+        return StreamedFluxState(double=dbl, single=sgl, policy=policy)
+
+    def gather(self) -> FluxState:
+        """Reassemble a device-resident FluxState (for tests/checkpoints)."""
+        def cat(chunks):
+            fetched = [_placed(c, self.policy, False) for c in chunks]
+            return jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, 0), *fetched)
+        da, dm = cat(self.double)
+        sa, sm = cat(self.single)
+        return FluxState(double_attn=da, double_mlp=dm,
+                         single_attn=sa, single_mlp=sm)
+
+
+@dataclass
+class StreamedFluxRunner:
+    """Compiled layer-chunk programs + the PIPELINE_DEPTH=2 host loop.
+
+    One jitted program per (stage, step-kind); every chunk of a stage
+    reuses the same compiled program (equal shapes), with the global layer
+    offset arriving as an argument array.
+    """
+    cfg: FluxModelConfig
+    sp: FluxSparse
+    n_chunks_double: int = 1
+    n_chunks_single: int = 2
+    prefetch_depth: int = 2
+    _progs: Dict = field(default_factory=dict)
+
+    def _prog(self, stage: str, step: FluxStep):
+        sig = (stage, step.full_attn, step.full_mlp, step.colsum,
+               step.recompute_mlp_mask, min(step.index, 2))
+        if sig in self._progs:
+            return self._progs[sig]
+        cfg, sp = self.cfg, self.sp
+
+        if stage == 'double':
+            def prog(p_chunk, img, txt, vec, cos, sin, st_chunk, idx0, key,
+                     _step=step):
+                attn, mlp = st_chunk
+
+                def body(carry, xs):
+                    img, txt, attn, mlp = carry
+                    p, i = xs
+                    idx = idx0 + i
+                    img, txt, a2, m2 = double_block(
+                        cfg, sp, p, img, txt, vec, cos, sin,
+                        _tree_at(attn, i), _tree_at(mlp, i), idx, _step,
+                        jax.random.fold_in(key, idx))
+                    return (img, txt, _tree_put(attn, a2, i),
+                            _tree_put(mlp, m2, i)), None
+
+                n = jax.tree_util.tree_leaves(attn)[0].shape[0]
+                (img, txt, attn, mlp), _ = jax.lax.scan(
+                    body, (img, txt, attn, mlp),
+                    (p_chunk, jnp.arange(n)))
+                return img, txt, (attn, mlp)
+            jp = jax.jit(prog, donate_argnums=(6,))
+        else:
+            def prog(p_chunk, x, vec, cos, sin, st_chunk, idx0, key,
+                     _step=step):
+                attn, mlp = st_chunk
+
+                def body(carry, xs):
+                    x, attn, mlp = carry
+                    p, i = xs
+                    idx = idx0 + i
+                    x, a2, m2 = single_block(
+                        cfg, sp, p, x, vec, cos, sin,
+                        _tree_at(attn, i), _tree_at(mlp, i), idx, _step,
+                        jax.random.fold_in(key, idx))
+                    return (x, _tree_put(attn, a2, i),
+                            _tree_put(mlp, m2, i)), None
+
+                n = jax.tree_util.tree_leaves(attn)[0].shape[0]
+                (x, attn, mlp), _ = jax.lax.scan(
+                    body, (x, attn, mlp), (p_chunk, jnp.arange(n)))
+                return x, (attn, mlp)
+            jp = jax.jit(prog, donate_argnums=(5,))
+        self._progs[sig] = jp
+        return jp
+
+    def forward(self, params: Dict, st: StreamedFluxState,
+                img, txt, timesteps, y, pe, step: FluxStep,
+                guidance=None, key: Optional[jax.Array] = None):
+        """Streamed equivalent of flux_forward.  Mutates ``st`` chunks
+        in place; returns the prediction."""
+        cfg = self.cfg
+        key = key if key is not None else jax.random.PRNGKey(0)
+        kd, ks_, _ = jax.random.split(key, 3)
+        cos, sin = pe
+        img, txt, vec = jax.jit(flux_embed, static_argnums=(1,))(
+            params, cfg, img, txt, timesteps, y, guidance)
+
+        pol = st.policy
+
+        def run_stage(chunks, p_chunks, stage, state_io, kstage):
+            n = len(chunks)
+            layers_per = (cfg.depth if stage == 'double'
+                          else cfg.depth_single_blocks) // n
+            prog = self._prog(stage, step)
+            window = {i: _placed(chunks[i], pol, False)
+                      for i in range(min(self.prefetch_depth, n))}
+            for i in range(n):
+                dev_chunk = window.pop(i)
+                nxt = i + self.prefetch_depth - 1
+                if nxt < n and nxt not in window:
+                    window[nxt] = _placed(chunks[nxt], pol, False)
+                idx0 = jnp.int32(i * layers_per)
+                if stage == 'double':
+                    a, b, new_chunk = prog(p_chunks[i], state_io[0],
+                                           state_io[1], vec, cos, sin,
+                                           dev_chunk, idx0, kstage)
+                    state_io = (a, b)
+                else:
+                    a, new_chunk = prog(p_chunks[i], state_io, vec, cos,
+                                        sin, dev_chunk, idx0, kstage)
+                    state_io = a
+                chunks[i] = _placed(new_chunk, pol, True)
+            return state_io
+
+        p_dbl = _chunk(params['double'], self.n_chunks_double)
+        p_sgl = _chunk(params['single'], self.n_chunks_single)
+        img, txt = run_stage(st.double, p_dbl, 'double', (img, txt), kd)
+        x = (jnp.concatenate([txt, img], axis=1) if cfg.txt_first
+             else jnp.concatenate([img, txt], axis=1))
+        x = run_stage(st.single, p_sgl, 'single', x, ks_)
+        return jax.jit(flux_final, static_argnums=(1,))(params, cfg, x, vec)

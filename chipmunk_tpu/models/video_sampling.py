@@ -58,12 +58,20 @@ def hunyuan_denoise(model, params: Dict, latents: jnp.ndarray,
                     timesteps: jnp.ndarray,
                     guidance: float = 6.0,
                     key: Optional[jax.Array] = None,
-                    callback: Optional[Callable] = None) -> jnp.ndarray:
-    """Euler flow-matching loop for a HunyuanModel.  latents [B,C,T,H,W]."""
+                    callback: Optional[Callable] = None,
+                    streamed=None) -> jnp.ndarray:
+    """Euler flow-matching loop for a HunyuanModel.  latents [B,C,T,H,W].
+
+    streamed: optional (runner, state) from ``model.make_streamed()`` —
+    per-layer caches then live host-side per the config's ``offloading:``
+    block and the model streams layer-chunk by layer-chunk (the reference's
+    offload prefetch pipeline, hunyuan models.py:796-828); required when
+    the cache footprint exceeds HBM (video-scale sequences)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     B = latents.shape[0]
     plan = step_plan(model.ck)
-    state = model.init_state(B)
+    state = model.init_state(B) if streamed is None else None
+    runner, sst = streamed if streamed is not None else (None, None)
     pe = model.rope(B)
     g = (jnp.full((B,), guidance, jnp.float32)
          if model.cfg.guidance_embed else None)
@@ -78,9 +86,16 @@ def hunyuan_denoise(model, params: Dict, latents: jnp.ndarray,
                 callback(i, skipped=True)
             continue
         t_vec = jnp.full((B,), t_curr, jnp.float32)
-        fn = _jit_step(model, FluxStep.of(kind, i), 'hy-step')
-        pred, state = fn(params, latents, txt, t_vec, y, state, g,
-                         jax.random.fold_in(key, i), pe)
+        step = FluxStep.of(kind, i)
+        k_i = jax.random.fold_in(key, i)
+        if streamed is not None:
+            pred = model.forward_streamed(params, latents, txt, t_vec, y,
+                                          runner, sst, step, guidance=g,
+                                          key=k_i, pe=pe)
+        else:
+            fn = _jit_step(model, step, 'hy-step')
+            pred, state = fn(params, latents, txt, t_vec, y, state, g,
+                             k_i, pe)
         latents = latents + (t_prev - t_curr) * pred
         if callback:
             callback(i, skipped=False)

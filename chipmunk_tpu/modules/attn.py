@@ -37,21 +37,39 @@ from .. import kernels
 
 class AttnState(NamedTuple):
     """Per-layer attention cache pytree (replaces AttnStorage,
-    reference util/storage/layer_storage.py:95-118)."""
+    reference util/storage/layer_storage.py:95-118).
+
+    Index storage has two modes (cfg.should_compress_indices, matching
+    reference attn.py:134-139/173-179): uncompressed keeps explicit
+    (inds, counts) and ``packed`` is a 1-byte dummy; compressed keeps the
+    selection mask as a bitpacked uint8 field (8x smaller than int32
+    indices — the thing being offloaded at video scale) and rebuilds
+    (inds, counts) deterministically on every consuming step."""
     out_cache: jnp.ndarray   # [B,H,S,D]
     lse: jnp.ndarray         # [B,H,S] fp32, log2 domain
     inds: jnp.ndarray        # [B,H,G,jmax] int32 kv-block ids
     counts: jnp.ndarray      # [B,H,G] int32
+    packed: jnp.ndarray      # [B,H,G,ceil(NB/8)] uint8 bitpacked mask
 
 
 def init_attn_state(B: int, H: int, S: int, D: int, jmax: int,
-                    kv_block: int, dtype=jnp.bfloat16) -> AttnState:
+                    kv_block: int, dtype=jnp.bfloat16,
+                    out_cache_dtype=None, compress: bool = False
+                    ) -> AttnState:
     G = S // 128
+    nb = S // kv_block
+    if compress:
+        inds = jnp.zeros((1, 1, 1, 1), jnp.int32)
+        counts = jnp.ones((1, 1, 1), jnp.int32)
+        packed = jnp.zeros((B, H, G, -(-nb // 8)), jnp.uint8)
+    else:
+        inds = jnp.zeros((B, H, G, jmax), jnp.int32)
+        counts = jnp.ones((B, H, G), jnp.int32)
+        packed = jnp.zeros((1, 1, 1, 1), jnp.uint8)
     return AttnState(
-        out_cache=jnp.zeros((B, H, S, D), dtype),
+        out_cache=jnp.zeros((B, H, S, D), out_cache_dtype or dtype),
         lse=jnp.full((B, H, S), PAD_LSE, jnp.float32),
-        inds=jnp.zeros((B, H, G, jmax), jnp.int32),
-        counts=jnp.ones((B, H, G), jnp.int32),
+        inds=inds, counts=counts, packed=packed,
     )
 
 
@@ -176,27 +194,51 @@ class SparseDiffAttn:
                                            self.cfg.mbm, self.cfg.kv_block,
                                            kv_valid=self.valid_len)
 
-    def _select(self, colsums: jnp.ndarray, key: jax.Array
-                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Mask recompute (reference random_and_topk + mask_to_indices,
-        attn.py:76-84, 134-150) at kv-block granularity.
+    def _select_mask(self, colsums: jnp.ndarray, key: jax.Array
+                     ) -> jnp.ndarray:
+        """Mask recompute (reference random_and_topk, attn.py:76-84) at
+        kv-block granularity.
 
         should_compress_indices=False selects plain top-k (the reference's
         uncompressed-indices path, attn.py:140-150, used by FLUX);
         True adds the random + static-mask union (attn.py:76-84)."""
         if not self.cfg.should_compress_indices:
-            mask = indexing.topk_mask(colsums, self.sel_blocks)
-        else:
-            mask = indexing.random_and_topk_mask(
-                colsums, self.sel_blocks, key,
-                sparse_query_groups=self.sparse_query_groups,
-                static_mask=self.static_mask,
-                random_frac=self.cfg.random_keys)
+            return indexing.topk_mask(colsums, self.sel_blocks)
+        return indexing.random_and_topk_mask(
+            colsums, self.sel_blocks, key,
+            sparse_query_groups=self.sparse_query_groups,
+            static_mask=self.static_mask,
+            random_frac=self.cfg.random_keys)
+
+    def _mask_to_inds(self, mask: jnp.ndarray
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Deterministic mask -> (inds, counts); compressed-mode steps
+        rebuild through this exact function, so stored-packed and
+        freshly-selected paths see identical index lists
+        (reference attn.py:138-139 and 173-179 both call
+        mask_to_indices)."""
         mult_b = max(self.cfg.counts_multiple_of // self.cfg.kv_block, 1)
         inds, counts = indexing.mask_to_indices(mask, mult_b)
         inds = inds[..., :self.jmax]
         counts = jnp.clip(counts, 1, self.jmax)
         return inds, counts
+
+    def _stored_inds(self, state: AttnState
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Fetch the selection from state: unpack+rebuild when compressed
+        (reference attn.py:173-179), direct otherwise."""
+        if not self.cfg.should_compress_indices:
+            return state.inds, state.counts
+        from ..ops.bitpack import bitunpack_rows
+        nb = self.seq_len // self.cfg.kv_block
+        return self._mask_to_inds(bitunpack_rows(state.packed, nb))
+
+    def _store_selection(self, state: AttnState, mask: jnp.ndarray,
+                         inds, counts) -> AttnState:
+        if self.cfg.should_compress_indices:
+            from ..ops.bitpack import bitpack_rows
+            return state._replace(packed=bitpack_rows(mask))
+        return state._replace(inds=inds, counts=counts)
 
     # -------------------------------------------------------------- steps
     def dense_step(self, q, k, v):
@@ -211,22 +253,27 @@ class SparseDiffAttn:
     def full_step_colsum(self, q, k, v, state: AttnState, key: jax.Array
                          ) -> Tuple[jnp.ndarray, AttnState]:
         o, cs, lse = self._colsum(q, k, v, state.lse)
-        inds, counts = self._select(cs, key)
+        mask = self._select_mask(cs, key)
+        inds, counts = self._mask_to_inds(mask)
         o_sp = self._csp(q, k, v, inds, counts)
-        return o, AttnState(out_cache=(o - o_sp).astype(o.dtype), lse=lse,
-                            inds=inds, counts=counts)
+        state = self._store_selection(state, mask, inds, counts)
+        return o, state._replace(
+            out_cache=(o - o_sp).astype(state.out_cache.dtype), lse=lse)
 
     def full_step_plain(self, q, k, v, state: AttnState
                         ) -> Tuple[jnp.ndarray, AttnState]:
         o, lse = self._dense(q, k, v)
-        o_sp = self._csp(q, k, v, state.inds, state.counts)
-        return o, state._replace(out_cache=(o - o_sp).astype(o.dtype),
-                                 lse=lse)
+        inds, counts = self._stored_inds(state)
+        o_sp = self._csp(q, k, v, inds, counts)
+        return o, state._replace(
+            out_cache=(o - o_sp).astype(state.out_cache.dtype), lse=lse)
 
     def sparse_step(self, q, k, v, state: AttnState
                     ) -> Tuple[jnp.ndarray, AttnState]:
-        o_sp = self._csp(q, k, v, state.inds, state.counts)
-        return (state.out_cache + o_sp).astype(q.dtype), state
+        inds, counts = self._stored_inds(state)
+        o_sp = self._csp(q, k, v, inds, counts)
+        return (state.out_cache.astype(jnp.float32)
+                + o_sp.astype(jnp.float32)).astype(q.dtype), state
 
     # ------------------------------------------------------------ frontend
     def __call__(self, q, k, v, state: AttnState, *, step_index: int,
@@ -252,6 +299,11 @@ class SparseDiffAttn:
             return AttnState(out_cache=jnp.zeros((1, 1, 1, 1), dtype),
                              lse=jnp.zeros((1, 1, 1), jnp.float32),
                              inds=jnp.zeros((1, 1, 1, 1), jnp.int32),
-                             counts=jnp.ones((1, 1, 1), jnp.int32))
+                             counts=jnp.ones((1, 1, 1), jnp.int32),
+                             packed=jnp.zeros((1, 1, 1, 1), jnp.uint8))
+        oc_dt = (jnp.dtype(self.cfg.out_cache_dtype)
+                 if self.cfg.out_cache_dtype else None)
         return init_attn_state(B, H, self.seq_len, D, self.jmax,
-                               self.cfg.kv_block, dtype)
+                               self.cfg.kv_block, dtype,
+                               out_cache_dtype=oc_dt,
+                               compress=self.cfg.should_compress_indices)

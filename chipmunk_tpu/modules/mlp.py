@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from ..config import MlpConfig
 from ..ops import indexing, mlp_ref
 from ..ops.mlp_ref import block_mean
+from ..utils.quant import dequant
 from .. import kernels
 
 
@@ -81,10 +82,10 @@ class SparseDiffMlp:
 
     # ---------------------------------------------------------------- steps
     def dense(self, x, w1t, b1, w2, b2):
-        """x: [T, C]; w1t: [N, C]; w2: [N, C]."""
-        mid = x @ w1t.T + b1.astype(x.dtype)
-        return _gelu_tanh(mid.astype(jnp.float32)).astype(x.dtype) @ w2 \
-            + b2.astype(x.dtype)
+        """x: [T, C]; w1t: [N, C]; w2: [N, C] (arrays or QTensors)."""
+        mid = x @ dequant(w1t, x.dtype).T + b1.astype(x.dtype)
+        return (_gelu_tanh(mid.astype(jnp.float32)).astype(x.dtype)
+                @ dequant(w2, x.dtype) + b2.astype(x.dtype))
 
     def _pad(self, x):
         t = x.shape[0]
@@ -95,20 +96,21 @@ class SparseDiffMlp:
     def full_step(self, x, w1t, b1, w2, b2, state: MlpState
                   ) -> Tuple[jnp.ndarray, MlpState]:
         x, t = self._pad(x)
-        mid = x @ w1t.T + b1.astype(x.dtype)
+        mid = x @ dequant(w1t, x.dtype).T + b1.astype(x.dtype)
         pa = _gelu_tanh(mid.astype(jnp.float32)).astype(x.dtype)
-        out = pa @ w2 + b2.astype(x.dtype)
+        out = pa @ dequant(w2, x.dtype) + b2.astype(x.dtype)
         return out[:t], state._replace(
-            out_cache=out,
-            act_cache=pa,
-            bm_mid=block_mean(mid[None], self.cfg.mbm)[0])
+            out_cache=out.astype(state.out_cache.dtype),
+            act_cache=pa.astype(state.act_cache.dtype),
+            bm_mid=block_mean(mid[None], self.cfg.mbm)[0].astype(
+                state.bm_mid.dtype))
 
     def _recompute_indices(self, x, w1t, b1, state: MlpState, key: jax.Array
                            ) -> MlpState:
         """Reference modules/mlp.py:69-88."""
         mbm, bm = self.cfg.mbm, self.cfg.bm
         bmx = block_mean(x[None], mbm)[0]                  # [Mb, C]
-        bmfc1 = bmx @ w1t.T + b1.astype(x.dtype)           # [Mb, N]
+        bmfc1 = bmx @ dequant(w1t, x.dtype).T + b1.astype(x.dtype)  # [Mb, N]
         mdiff = jnp.abs((bmfc1 - state.bm_mid).astype(jnp.float32))
         r = bm // mbm
         Mb = mdiff.shape[0]
@@ -147,11 +149,13 @@ class SparseDiffMlp:
             tinds = (state.inds[..., None] * bn
                      + jnp.arange(bn)).reshape(state.inds.shape[0], -1)
             new_out, new_act = mlp_ref.csp_mlp_ref(
-                x, w1t.T, b1, w2, tinds.astype(jnp.int32), state.counts * bn,
+                x, dequant(w1t, x.dtype).T, b1, dequant(w2, x.dtype),
+                tinds.astype(jnp.int32), state.counts * bn,
                 state.act_cache, state.out_cache, bm=self.cfg.bm,
                 act=_gelu_tanh)
-        return new_out[:t], state._replace(out_cache=new_out,
-                                           act_cache=new_act)
+        return new_out[:t].astype(x.dtype), state._replace(
+            out_cache=new_out.astype(state.out_cache.dtype),
+            act_cache=new_act.astype(state.act_cache.dtype))
 
     # ------------------------------------------------------------ frontend
     def __call__(self, x, w1t, b1, w2, b2, state: MlpState, *,
@@ -176,9 +180,11 @@ class SparseDiffMlp:
         T, C, N = self.n_tokens, self.d_model, self.d_hidden
         M = T // self.cfg.bm
         Mb = T // self.cfg.mbm
+        act_dt = jnp.dtype(self.cfg.act_cache_dtype) \
+            if self.cfg.act_cache_dtype else dtype
         return MlpState(
             out_cache=jnp.zeros((T, C), dtype),
-            act_cache=jnp.zeros((T, N), dtype),
+            act_cache=jnp.zeros((T, N), act_dt),
             bm_mid=jnp.zeros((Mb, N), dtype),
             inds=jnp.zeros((M, self.jmax), jnp.int32),
             counts=jnp.ones((M,), jnp.int32),

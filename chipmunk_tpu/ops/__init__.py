@@ -23,7 +23,8 @@ from .indexing import (
     copy_indices,
     blockify_scores,
 )
-from .bitpack import bitpack, bitunpack
+from .bitpack import (bitpack, bitunpack, bitpack_rows,
+                      bitunpack_rows)
 from .patch import patchify, unpatchify, patchify_rope
 from .voxel import (
     voxel_chunk_no_padding,
@@ -39,7 +40,7 @@ __all__ = [
     'block_mean', 'csp_mlp_ref', 'dense_mlp_ref',
     'merge_indices', 'scatter_add', 'topk_mask', 'random_and_topk_mask', 'mask_to_indices', 'topk_indices',
     'copy_indices', 'blockify_scores',
-    'bitpack', 'bitunpack',
+    'bitpack', 'bitunpack', 'bitpack_rows', 'bitunpack_rows',
     'patchify', 'unpatchify', 'patchify_rope',
     'voxel_chunk_no_padding', 'reverse_voxel_chunk_no_padding',
     'get_local_voxel_indices', 'get_local_indices_with_text',

@@ -33,3 +33,26 @@ def bitunpack(packed: jnp.ndarray, shape: Sequence[int]) -> jnp.ndarray:
     weights = (1 << jnp.arange(8, dtype=jnp.uint8))
     bits = (packed[:, None] & weights[None, :]) != 0
     return bits.reshape(-1)[:size].reshape(tuple(shape))
+
+
+def bitpack_rows(mask: jnp.ndarray) -> jnp.ndarray:
+    """Pack along the LAST axis only: bool [..., n] -> uint8 [..., ceil(n/8)]
+    (little-endian within each byte).  Keeps the leading structure, so the
+    packed mask lives in per-layer state pytrees (reference stores packed
+    masks in AttnStorage, modules/attn.py:134-139)."""
+    n = mask.shape[-1]
+    pad = (-n) % 8
+    m = mask.astype(jnp.uint8)
+    if pad:
+        m = jnp.concatenate(
+            [m, jnp.zeros(m.shape[:-1] + (pad,), jnp.uint8)], axis=-1)
+    m = m.reshape(m.shape[:-1] + (-1, 8))
+    weights = (1 << jnp.arange(8, dtype=jnp.uint8))
+    return (m * weights).sum(axis=-1).astype(jnp.uint8)
+
+
+def bitunpack_rows(packed: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Inverse of bitpack_rows: uint8 [..., ceil(n/8)] -> bool [..., n]."""
+    weights = (1 << jnp.arange(8, dtype=jnp.uint8))
+    bits = (packed[..., None] & weights) != 0
+    return bits.reshape(packed.shape[:-1] + (-1,))[..., :n]
