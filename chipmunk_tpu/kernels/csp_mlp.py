@@ -46,6 +46,10 @@ from .csp_attention import pad_block_indices
 # kernel is bandwidth-bound; at bm>=512 it is MXU-bound like the reference.
 DEFAULT_BM = 128
 MM2_COUT_BLOCK = 1024
+# Mosaic's default scoped-vmem limit is 16MB; at bm=512 the mm1 working set
+# (double-buffered x/cache/packed blocks + gathered weights + scales) is
+# ~16.1MB, so raise the cap (v5e has 128MB VMEM; 64MB leaves pipelining room)
+VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def _mm1_kernel(inds_ref, counts_ref,           # scalar prefetch (SMEM)
@@ -151,6 +155,8 @@ def csp_mlp_mm1(x: jnp.ndarray, w1t: jnp.ndarray, b1: jnp.ndarray,
         ],
         # alias act_cache (last input) into the refreshed cache output
         input_output_aliases={5 + len(extra_in): 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(inds, counts, x, w1q, *extra_in, b1r, act_cache)
     return packed, new_cache
@@ -239,6 +245,8 @@ def csp_mlp_mm2(packed: jnp.ndarray, w2: jnp.ndarray, out_cache: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, Cout), out_cache.dtype),
         input_output_aliases={4 + len(extra_in): 0},  # out_cache -> out
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(inds, counts, packed, w2q, *extra_in, out_cache)
     return out

@@ -63,10 +63,14 @@ def ulysses_attention(mesh: Mesh, axis: str,
     multi-device path (reference attenion.py:229-292).
     """
     qspec = P(None, None, axis, None)
-    sspec = jax.tree_util.tree_map(lambda _: P(None, axis), state)
+    n_axis = mesh.shape[axis]
 
-    # state leaves have different ranks; head axis is axis 1 for all
+    # state leaves have different ranks; head axis is axis 1 for all.
+    # Placeholder leaves (e.g. the 1-byte packed dummy in uncompressed
+    # mode) can't shard — replicate them.
     def leaf_spec(x):
+        if x.ndim < 2 or x.shape[1] % n_axis != 0:
+            return P()
         return P(*([None, axis] + [None] * (x.ndim - 2)))
 
     sspec = jax.tree_util.tree_map(leaf_spec, state)

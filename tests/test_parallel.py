@@ -124,3 +124,35 @@ def test_flux_forward_with_ulysses_matches_single():
     for a, b in zip(ref, par):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_ring_attention_matches_dense():
+    """Ring attention over an 8-device token-sharded mesh == dense
+    reference (exact online softmax; parallel/ring.py)."""
+    from chipmunk_tpu.parallel.ring import ring_attention
+    from chipmunk_tpu.parallel.comm import make_mesh
+    from chipmunk_tpu.ops import dense_attn_ref
+    mesh = make_mesh({'ring': 8})
+    B, H, S, D = 1, 4, 512, 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (jax.random.normal(kk, (B, H, S, D), jnp.float32) for kk in ks)
+    o = ring_attention(mesh, 'ring', q, k, v)
+    o_ref, _ = dense_attn_ref(q, k, v)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_usp_attention_matches_dense():
+    """Ulysses x ring (2x4) == dense reference — the reference's xDiT USP
+    composition (xdit_context_parallel.py:160-192), dense-only."""
+    from chipmunk_tpu.parallel.ring import usp_attention
+    from chipmunk_tpu.parallel.comm import make_mesh
+    from chipmunk_tpu.ops import dense_attn_ref
+    mesh = make_mesh({'sp': 2, 'ring': 4})
+    B, H, S, D = 1, 4, 512, 64
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q, k, v = (jax.random.normal(kk, (B, H, S, D), jnp.float32) for kk in ks)
+    o = usp_attention(mesh, 'sp', 'ring', q, k, v)
+    o_ref, _ = dense_attn_ref(q, k, v)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                               atol=2e-5, rtol=2e-5)
