@@ -32,9 +32,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.attn_ref import attn_scale
 
-DEFAULT_BQ = 256
+DEFAULT_BQ = None    # adaptive: whole-Q at image scale (see dense_attn)
 DEFAULT_BK = 1024
 NEG_INF = -1.0e30
+# Mosaic's default scoped-vmem cap is 16MB; the whole-Q block's [bq, bk]
+# f32 score tile alone is ~18MB at image scale (v5e has 128MB VMEM)
+VMEM_LIMIT = 64 * 1024 * 1024
+# Largest whole-Q block: [bq, bk] f32 scores + [bq, D] f32 accumulator
+# must fit the raised cap with pipelining headroom
+MAX_WHOLE_Q = 8192
+
+
+def _pick_bq(sq: int) -> int:
+    """Whole-Q when it fits VMEM (huge MXU tiles + one VPU softmax chain
+    per KV block, ~150-180 TF/s vs ~90 at bq=256); else a large tile."""
+    if sq <= MAX_WHOLE_Q:
+        return sq + (-sq) % 8
+    return 1024
 
 
 def _flash_kernel(q_ref, k_ref, v_ref,            # inputs
@@ -50,17 +64,20 @@ def _flash_kernel(q_ref, k_ref, v_ref,            # inputs
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
+    # tau is folded into the [bq,1] max and the exp2's fused multiply-add
+    # instead of a standalone [bq,bk] scaling pass — the VPU softmax chain
+    # is the throughput limiter, not the MXU (90 -> ~150 TF/s measured)
     s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * tau
+                            preferred_element_type=jnp.float32)
     if sk_valid % bk != 0:
         # mask padded KV rows on the last block
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * bk
         s = jnp.where(col < sk_valid, s, NEG_INF)
 
     m_prev = m_ref[:]                              # [BQ, 1]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_cur = jnp.max(s, axis=-1, keepdims=True) * tau
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp2(s - m_new)                        # [BQ, BK]
+    p = jnp.exp2(s * tau - m_new)                  # [BQ, BK]
     alpha = jnp.exp2(m_prev - m_new)
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     m_ref[:] = m_new
@@ -80,11 +97,15 @@ def _colsum_kernel(q_ref, k_ref, v_ref, prev_lse_ref,
                    o_ref, lse_ref, cs_ref,
                    acc_ref, m_ref, l_ref, csacc_ref,
                    *, tau: float, sk_valid: int, bq: int, bk: int,
-                   score_block: int):
-    b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+                   score_block: int, qg: int):
+    """Each program covers bq = n_sub*qg query rows (n_sub query GROUPS),
+    so the colsum accumulator holds n_sub group rows — processing many
+    groups per program is what closes the round-1 gap where this kernel
+    was pinned to bq=qg=128 and ran at 2.3x the cost of dense_attn."""
+    j = pl.program_id(2)
     nj = pl.num_programs(2)
-    ng = pl.num_programs(1)
     nb = bk // score_block
+    n_sub = bq // qg
 
     @pl.when(j == 0)
     def _init():
@@ -94,7 +115,7 @@ def _colsum_kernel(q_ref, k_ref, v_ref, prev_lse_ref,
         csacc_ref[:] = jnp.zeros_like(csacc_ref)
 
     s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * tau
+                            preferred_element_type=jnp.float32)
     if sk_valid % bk != 0:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * bk
         s = jnp.where(col < sk_valid, s, NEG_INF)
@@ -106,23 +127,24 @@ def _colsum_kernel(q_ref, k_ref, v_ref, prev_lse_ref,
     # gather kernels, and it keeps the output O(S/score_block) instead of
     # O(S) per group — at video scale the reference's token-granular colsum
     # tensor would be several GB (dense_colsum_attn.cu:580-583).
-    p_prev = jnp.exp2(s - prev_lse_ref[0])            # [BQ, BK]
-    token_sums = jnp.sum(p_prev, axis=0, keepdims=True)   # [1, BK]
-    # scatter the nb block sums to lanes [j*nb, (j+1)*nb) of the accumulator
-    # row with a shifted 0/1 matrix on the MXU (dynamic-lane stores must be
+    p_prev = jnp.exp2(s * tau - prev_lse_ref[0])          # [BQ, BK]
+    # per-query-group token sums: [n_sub, qg, BK] -> [n_sub, BK]
+    group_sums = p_prev.reshape(n_sub, qg, -1).sum(axis=1)
+    # scatter the nb block sums to lanes [j*nb, (j+1)*nb) of the group rows
+    # with a shifted 0/1 matrix on the MXU (dynamic-lane stores must be
     # 128-aligned on TPU, so we accumulate instead)
     nbp = csacc_ref.shape[-1]
     bsm = (jax.lax.broadcasted_iota(jnp.int32, (bk, nbp), 0) // score_block
            + j * nb
            == jax.lax.broadcasted_iota(jnp.int32, (bk, nbp), 1)
            ).astype(jnp.float32)
-    csacc_ref[:] += jnp.dot(token_sums, bsm,
+    csacc_ref[:] += jnp.dot(group_sums, bsm,
                             preferred_element_type=jnp.float32)
 
     m_prev = m_ref[:]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_cur = jnp.max(s, axis=-1, keepdims=True) * tau
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp2(s - m_new)
+    p = jnp.exp2(s * tau - m_new)
     alpha = jnp.exp2(m_prev - m_new)
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     m_ref[:] = m_new
@@ -136,9 +158,7 @@ def _colsum_kernel(q_ref, k_ref, v_ref, prev_lse_ref,
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
         lse_ref[0] = m_ref[:] + jnp.log2(l_safe)
-        # cs rows are packed 8 query-groups per block (TPU block-shape rule:
-        # second-to-last dim must be 8-divisible); row within block:
-        cs_ref[jax.lax.rem(b * ng + i, 8), :] = csacc_ref[0]
+        cs_ref[:] = csacc_ref[:]
 
 
 def _pad_to(x, mult, axis):
@@ -157,9 +177,11 @@ def dense_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Flash attention forward.  q,k,v: [B,H,S,D] -> (o [B,H,Sq,D],
     lse fp32 [B,H,Sq] in log2 domain).  Sq is padded internally to bq;
-    padded rows return lse of the padded computation and are sliced off."""
+    padded rows return lse of the padded computation and are sliced off.
+    bq=None picks the block adaptively (whole-Q at image scale)."""
     B, H, Sq, D = q.shape
     Sk = k.shape[-2]
+    bq = bq if bq is not None else _pick_bq(Sq)
     qp = _pad_to(q.reshape(B * H, Sq, D), bq, 1)
     kp = _pad_to(k.reshape(B * H, Sk, D), bk, 1)
     vp = _pad_to(v.reshape(B * H, Sk, D), bk, 1)
@@ -187,17 +209,19 @@ def dense_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(qp, kp, vp)
     return (o[:, :Sq].reshape(B, H, Sq, D),
             lse[:, :Sq, 0].reshape(B, H, Sq))
 
 
-@functools.partial(jax.jit, static_argnames=('bq', 'bk', 'score_block',
-                                              'interpret'))
+@functools.partial(jax.jit, static_argnames=('qg', 'bq', 'bk',
+                                              'score_block', 'interpret'))
 def dense_colsum_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       prev_lse: jnp.ndarray,
-                      bq: int = DEFAULT_BQ, bk: int = DEFAULT_BK,
+                      qg: int = 128,
+                      bq: int = None, bk: int = DEFAULT_BK,
                       score_block: int = 128,
                       interpret: bool = False,
                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -205,8 +229,11 @@ def dense_colsum_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     **selection scores** of the prev-lse-normalized probabilities, summed
     within ``score_block``-token KV blocks (the gather granule of csp_attn).
 
-    The query-group size equals ``bq``.  Padded query rows must carry
-    prev_lse = +big (ops.attn_ref.PAD_LSE) so they contribute 0.
+    ``qg`` is the selection query-group size (config attn.mbm); each
+    program block covers bq = 8k*qg rows (whole-Q at image scale), so the
+    colsum pass runs at dense_attn block shapes instead of being pinned to
+    one group per program.  Padded query rows must carry prev_lse = +big
+    (ops.attn_ref.PAD_LSE) so they contribute 0.
 
     Returns (o [B,H,Sq,D], block colsums fp32 [B,H,G,ceil(Sk/score_block)],
     lse fp32 [B,H,Sq]).
@@ -214,6 +241,10 @@ def dense_colsum_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     B, H, Sq, D = q.shape
     Sk = k.shape[-2]
     from ..ops.attn_ref import PAD_LSE
+    if bq is None:
+        sq8 = Sq + (-Sq) % (8 * qg)
+        bq = sq8 if sq8 <= MAX_WHOLE_Q else 8 * qg
+    assert bq % (8 * qg) == 0, (bq, qg)
     qp = _pad_to(q.reshape(B * H, Sq, D), bq, 1)
     lp = _pad_to(prev_lse.reshape(B * H, Sq, 1), bq, 1)
     if qp.shape[1] != Sq:
@@ -221,13 +252,14 @@ def dense_colsum_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kp = _pad_to(k.reshape(B * H, Sk, D), bk, 1)
     vp = _pad_to(v.reshape(B * H, Sk, D), bk, 1)
     Sqp, Skp = qp.shape[1], kp.shape[1]
-    G = Sqp // bq
+    n_sub = bq // qg
+    Gp = Sqp // qg
     NB = Skp // score_block
     NBp = NB + (-NB) % 128
-    grid = (B * H, G, Skp // bk)
+    grid = (B * H, Sqp // bq, Skp // bk)
     o, lse, cs = pl.pallas_call(
         functools.partial(_colsum_kernel, tau=attn_scale(D), sk_valid=Sk,
-                          bq=bq, bk=bk, score_block=score_block),
+                          bq=bq, bk=bk, score_block=score_block, qg=qg),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
@@ -238,24 +270,26 @@ def dense_colsum_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         out_specs=[
             pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((8, NBp),
-                         lambda b, i, j, G=G: ((b * G + i) // 8, 0)),
+            pl.BlockSpec((n_sub, NBp),
+                         lambda b, i, j, R=Sqp // bq: (b * R + i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B * H, Sqp, D), q.dtype),
             jax.ShapeDtypeStruct((B * H, Sqp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((((B * H * G + 7) // 8) * 8, NBp),
-                                 jnp.float32),
+            jax.ShapeDtypeStruct((B * H * Gp, NBp), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, D), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((1, NBp), jnp.float32),
+            pltpu.VMEM((n_sub, NBp), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(qp, kp, vp, lp)
     nb_valid = -(-Sk // score_block)
+    G = Sq // qg  # caller guarantees qg | Sq (module layout contract)
+    cs = cs.reshape(B * H, Gp, NBp)[:, :G, :nb_valid]
     return (o[:, :Sq].reshape(B, H, Sq, D),
-            cs[:B * H * G, :nb_valid].reshape(B, H, G, nb_valid),
+            cs.reshape(B, H, G, nb_valid),
             lse[:, :Sq, 0].reshape(B, H, Sq))

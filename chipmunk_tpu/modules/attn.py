@@ -171,7 +171,7 @@ class SparseDiffAttn:
             # selection groups
             kv = self.valid_len or k.shape[-2]
             o, cs, lse = kernels.dense_colsum_attn(
-                q, k[..., :kv, :], v[..., :kv, :], prev_lse, bq=self.cfg.mbm,
+                q, k[..., :kv, :], v[..., :kv, :], prev_lse, qg=self.cfg.mbm,
                 score_block=self.cfg.kv_block,
                 interpret=self.interpret)
             if cs.shape[-1] < nb_full:   # pad block-score tail (never wins

@@ -36,7 +36,7 @@ def test_dense_attn_kernel_unaligned_seq():
 def test_colsum_attn_kernel():
     q, k, v = rand_qkv(s=256)
     _, prev_lse = ops.dense_attn_ref(q, k, v)
-    o, cs, lse = dense_colsum_attn(q, k, v, prev_lse, bq=128, bk=128,
+    o, cs, lse = dense_colsum_attn(q, k, v, prev_lse, qg=128, bk=128,
                                    score_block=32, interpret=True)
     o_ref, cs_ref, lse_ref = ops.dense_colsum_attn_ref(q, k, v, prev_lse, 128)
     np.testing.assert_allclose(o, o_ref, atol=2e-3, rtol=2e-3)
