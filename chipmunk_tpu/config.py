@@ -62,6 +62,10 @@ class MlpConfig:
     # chipmunk cache (e.g. 'float8_e4m3fn' halves it vs bf16 at a small,
     # measured quality cost; see utils/quant.py).  None = model dtype.
     act_cache_dtype: Optional[str] = None
+    # TPU-only: storage dtype for the [T, C] output cache.  fp8 here is
+    # more aggressive than for act_cache (the cache accumulates sparse
+    # deltas between full refreshes) — measure with scripts/quality_eval.
+    out_cache_dtype: Optional[str] = None
 
 
 @dataclass(frozen=True)

@@ -252,14 +252,149 @@ def csp_mlp_mm2(packed: jnp.ndarray, w2: jnp.ndarray, out_cache: jnp.ndarray,
     return out
 
 
+def _fused_kernel(inds_ref, counts_ref,          # scalar prefetch (SMEM)
+                  *refs, wq: bool = False, nj: int = 0):
+    """mm1 + mm2 in one pass: the packed delta lives only in registers/
+    VMEM — never written to HBM (the reference pays a packed round-trip
+    between its two kernels and fights the launch gap with a CUDA-graph
+    SM split, csp_mlp_mm2_and_scatter_add.cu:96-259; fusing is the TPU
+    answer to both)."""
+    if wq:
+        (x_ref, w1t_ref, w1s_ref, b1_ref, w2_ref, w2s_ref, cache_ref,
+         outin_ref, out_ref, newcache_ref, acc_ref) = refs
+    else:
+        w1s_ref = w2s_ref = None
+        (x_ref, w1t_ref, b1_ref, w2_ref, cache_ref,
+         outin_ref, out_ref, newcache_ref, acc_ref) = refs
+    m, j = pl.program_id(0), pl.program_id(1)
+    valid = j < counts_ref[m]
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = outin_ref[:].astype(jnp.float32)
+
+    x = x_ref[:]                                  # [BM, C]
+    w1 = w1t_ref[:]                               # [bn, C]
+    if wq:
+        w1 = w1.astype(x.dtype)
+    mid = jax.lax.dot_general(x, w1, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    if wq:
+        mid = mid * w1s_ref[0]
+    mid = mid + b1_ref[0].astype(jnp.float32)
+    act = jax.nn.gelu(mid, approximate=True).astype(cache_ref.dtype)
+
+    @pl.when(valid)
+    def _():
+        delta = (act.astype(jnp.float32)
+                 - cache_ref[:].astype(jnp.float32)).astype(x.dtype)
+        newcache_ref[:] = act
+        w2 = w2_ref[:]
+        if wq:
+            delta = delta * w2s_ref[0].astype(delta.dtype)
+            w2 = w2.astype(delta.dtype)
+        acc_ref[:] += jax.lax.dot_general(
+            delta, w2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('bn', 'bm', 'interpret'))
+def csp_mlp_fused(x: jnp.ndarray, w1t, b1: jnp.ndarray, w2,
+                  act_cache: jnp.ndarray, out_cache: jnp.ndarray,
+                  inds: jnp.ndarray, counts: jnp.ndarray,
+                  bn: int = 128, bm: int = DEFAULT_BM,
+                  interpret: bool = False,
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-kernel sparse MLP step: per token block, loop the selected
+    neuron blocks — gather fc1 rows, recompute activations, delta vs
+    cache (refreshing it in place), and accumulate delta @ fc2 rows into
+    the donated out_cache, all in VMEM.  w1t/w2 may be QTensors.
+    Returns (new_out_cache, new_act_cache)."""
+    from ..utils.quant import QTensor
+    T, C = x.shape
+    wq = isinstance(w1t, QTensor)
+    assert wq == isinstance(w2, QTensor), "quantize both or neither"
+    if wq:
+        assert w1t.pack_axis is None and w2.pack_axis is None
+        w1q, w1s, w2q, w2s = w1t.q, w1t.scale, w2.q, w2.scale
+    else:
+        w1q, w2q = w1t, w2
+    N = w1q.shape[0]
+    Cout = w2q.shape[1]
+    assert T % bm == 0 and N % bn == 0
+    M, jmax = inds.shape
+    assert M == T // bm, (M, T, bm)
+    counts = jnp.clip(counts, 1, jmax).astype(jnp.int32)
+    inds = pad_block_indices(inds, counts).astype(jnp.int32)
+    b1r = b1.reshape(N // bn, 1, bn)
+    ins = [x, w1q]
+    in_specs = [
+        pl.BlockSpec((bm, C), lambda m, j, I, c: (m, 0)),
+        pl.BlockSpec((bn, C), lambda m, j, I, c: (I[m, j], 0)),
+    ]
+    if wq:
+        ins.append(w1s.astype(jnp.float32).reshape(N // bn, 1, bn))
+        in_specs.append(pl.BlockSpec((1, 1, bn),
+                                     lambda m, j, I, c: (I[m, j], 0, 0)))
+    ins += [b1r, w2q]
+    in_specs += [
+        pl.BlockSpec((1, 1, bn), lambda m, j, I, c: (I[m, j], 0, 0)),
+        pl.BlockSpec((bn, Cout), lambda m, j, I, c: (I[m, j], 0)),
+    ]
+    if wq:
+        ins.append(w2s.astype(jnp.float32).reshape(N // bn, 1, bn))
+        in_specs.append(pl.BlockSpec((1, 1, bn),
+                                     lambda m, j, I, c: (I[m, j], 0, 0)))
+    ins += [act_cache, out_cache]
+    in_specs += [
+        pl.BlockSpec((bm, bn), lambda m, j, I, c: (m, I[m, j])),
+        pl.BlockSpec((bm, Cout), lambda m, j, I, c: (m, 0)),
+    ]
+    n_in = len(ins)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(M, jmax),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((bm, Cout), lambda m, j, I, c: (m, 0)),
+            pl.BlockSpec((bm, bn), lambda m, j, I, c: (m, I[m, j])),
+        ],
+        scratch_shapes=[pltpu.VMEM((bm, Cout), jnp.float32)],
+    )
+    new_out, new_cache = pl.pallas_call(
+        functools.partial(_fused_kernel, wq=wq, nj=jmax),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, Cout), out_cache.dtype),
+            jax.ShapeDtypeStruct((T, N), act_cache.dtype),
+        ],
+        # out_cache -> new_out, act_cache -> new_cache (offsets skip the
+        # two scalar-prefetch operands)
+        input_output_aliases={n_in + 1: 0, n_in: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(inds, counts, *ins)
+    return new_out, new_cache
+
+
 def csp_mlp(x: jnp.ndarray, w1t: jnp.ndarray, b1: jnp.ndarray,
             w2: jnp.ndarray, act_cache: jnp.ndarray, out_cache: jnp.ndarray,
             inds: jnp.ndarray, counts: jnp.ndarray,
             bn: int = 128, bm: int = DEFAULT_BM,
+            fused: bool = True,   # single-kernel path (csp_mlp_fused)
             interpret: bool = False,
             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full sparse MLP step (reference ops/mlp.py run_e2e:63-92).
     Returns (new_out_cache, new_act_cache)."""
+    if fused:
+        return csp_mlp_fused(x, w1t, b1, w2, act_cache, out_cache,
+                             inds, counts, bn=bn, bm=bm,
+                             interpret=interpret)
     packed, new_cache = csp_mlp_mm1(x, w1t, b1, act_cache, inds, counts,
                                     bn=bn, bm=bm, interpret=interpret)
     new_out = csp_mlp_mm2(packed, w2, out_cache, inds, counts,

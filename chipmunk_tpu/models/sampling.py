@@ -181,6 +181,63 @@ class FluxSampler:
                                              txt, y, pe, g, key)
         return self.unpatchify_img(out)
 
+    # ------------------------------------------- streamed (chunked) loop
+    def make_streamed(self, n_chunks_double: int = 1,
+                      n_chunks_single: int = 2, B: int = 1,
+                      policy=None):
+        """Layer-chunked runner (models/streamed.py).  Two uses:
+        (1) host-offloaded caches per the offloading config;
+        (2) policy=no-offload: everything stays device-resident but the
+        step decomposes into per-chunk programs — on the v5e tunnel a
+        single program whose arguments exceed ~8-10GiB fails at runtime,
+        so full-depth FLUX (12.8GiB of weights+caches) must split."""
+        from .streamed import StreamedFluxRunner, StreamedFluxState
+        from ..utils.offload import OffloadPolicy
+        if policy is None:
+            policy = OffloadPolicy.from_config(self.ck.offloading)
+        runner = StreamedFluxRunner(cfg=self.cfg, sp=self.sp,
+                                    n_chunks_double=n_chunks_double,
+                                    n_chunks_single=n_chunks_single)
+        sst = StreamedFluxState.create(self.sp.init_state(self.cfg, B),
+                                       n_chunks_double, n_chunks_single,
+                                       policy)
+        return runner, sst
+
+    def denoise_streamed(self, params: Dict, img: jnp.ndarray,
+                         txt: jnp.ndarray, y: jnp.ndarray,
+                         timesteps: jnp.ndarray, streamed,
+                         guidance: float = 4.0,
+                         key: Optional[jax.Array] = None,
+                         callback: Optional[Callable] = None) -> jnp.ndarray:
+        """Euler loop over the layer-chunked runner (streamed =
+        (runner, state) from make_streamed)."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        runner, sst = streamed
+        B = img.shape[0]
+        img = self.patchify_img(img)
+        pe = self.rope(B)
+        plan = step_plan(self.ck)
+        g = jnp.full((B,), guidance, jnp.float32) \
+            if self.cfg.guidance_embed else None
+        pred = None
+        n = min(len(plan), timesteps.shape[0] - 1)
+        for i in range(n):
+            kind = plan[i]
+            t_curr, t_prev = timesteps[i], timesteps[i + 1]
+            if kind.skip and pred is not None:
+                img = img + (t_prev - t_curr) * pred
+                if callback:
+                    callback(i, skipped=True)
+                continue
+            t_vec = jnp.full((B,), t_curr, jnp.float32)
+            pred = runner.forward(params, sst, img, txt, t_vec, y, pe,
+                                  FluxStep.of(kind, i), guidance=g,
+                                  key=jax.random.fold_in(key, i))
+            img = img + (t_prev - t_curr) * pred
+            if callback:
+                callback(i, skipped=False)
+        return self.unpatchify_img(img)
+
     # ------------------------------------------------------------ denoise
     def denoise(self, params: Dict, img: jnp.ndarray, txt: jnp.ndarray,
                 y: jnp.ndarray, timesteps: jnp.ndarray,

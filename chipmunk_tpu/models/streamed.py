@@ -178,7 +178,10 @@ class StreamedFluxRunner:
         key = key if key is not None else jax.random.PRNGKey(0)
         kd, ks_, _ = jax.random.split(key, 3)
         cos, sin = pe
-        img, txt, vec = jax.jit(flux_embed, static_argnums=(1,))(
+        if 'embed' not in self._progs:
+            self._progs['embed'] = jax.jit(flux_embed, static_argnums=(1,))
+            self._progs['final'] = jax.jit(flux_final, static_argnums=(1,))
+        img, txt, vec = self._progs['embed'](
             params, cfg, img, txt, timesteps, y, guidance)
 
         pol = st.policy
@@ -214,4 +217,4 @@ class StreamedFluxRunner:
         x = (jnp.concatenate([txt, img], axis=1) if cfg.txt_first
              else jnp.concatenate([img, txt], axis=1))
         x = run_stage(st.single, p_sgl, 'single', x, ks_)
-        return jax.jit(flux_final, static_argnums=(1,))(params, cfg, x, vec)
+        return self._progs['final'](params, cfg, x, vec)

@@ -45,11 +45,13 @@ def _jit_step(model, step: FluxStep, tag: str):
                    _step=step):
                 return model.forward(params, lat, txt, t_vec, y, state,
                                      _step, guidance=g, key=key, pe=pe)
+            donate = (5,)    # state updates alias in place
         else:
             def fn(params, lat, ctx, t_vec, state, key, pe, _step=step):
                 return model.forward(params, lat, ctx, t_vec, state, _step,
                                      key=key, pe=pe)
-        _JIT_CACHE[sig] = jax.jit(fn)
+            donate = (4,)
+        _JIT_CACHE[sig] = jax.jit(fn, donate_argnums=donate)
     return _JIT_CACHE[sig]
 
 

@@ -182,8 +182,10 @@ class SparseDiffMlp:
         Mb = T // self.cfg.mbm
         act_dt = jnp.dtype(self.cfg.act_cache_dtype) \
             if self.cfg.act_cache_dtype else dtype
+        out_dt = jnp.dtype(self.cfg.out_cache_dtype) \
+            if self.cfg.out_cache_dtype else dtype
         return MlpState(
-            out_cache=jnp.zeros((T, C), dtype),
+            out_cache=jnp.zeros((T, C), out_dt),
             act_cache=jnp.zeros((T, N), act_dt),
             bm_mid=jnp.zeros((Mb, N), dtype),
             inds=jnp.zeros((M, self.jmax), jnp.int32),

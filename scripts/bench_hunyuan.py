@@ -1,8 +1,20 @@
-"""HunyuanVideo-core e2e benchmark: sparse (attention top_keys=0.05 +
+"""HunyuanVideo e2e benchmark: sparse (attention top_keys=0.05 +
 full-step schedule {0,1,10,40} + 25-step skip schedule, the reference's
-operating point) vs dense, at reduced depth / reduced video so it fits one
-chip.  The reference's headline is 3.72x (1030s -> 277s on H100,
-README.md:87)."""
+operating point) vs dense, across a sequence-scaling curve up to the real
+119k-token 720p/129-frame grid, plus a FULL-depth (20+40, 13B-param) run
+with quantized weight residency.  The reference's headline is 3.72x
+(1030s -> 277s on H100, README.md:87).
+
+Scales (env CHIPMUNK_HY_SCALE or --scale, comma-separated):
+  small   seq  8,896   core 2+4 depth      (round-1 continuity point)
+  medium  seq 26,816   core 2+4
+  xl      seq 59,926   core 2+4
+  video   seq 119,056  core 2+4            (the real 720p x 129f grid)
+  full30k seq 29,956   FULL 20+40 depth, int4/fp8 weights, fp8 attn cache
+
+Emits one JSON line: list of {seq, depth, dense_s, sparse_s, speedup}.
+"""
+import argparse
 import json
 import sys
 import time
@@ -10,7 +22,8 @@ import time
 sys.path.insert(0, '/'.join(__file__.split('/')[:-2]))
 
 import jax
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_compile_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/.cache/jax_compile_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
@@ -18,75 +31,106 @@ import numpy as np
 from chipmunk_tpu.config import load_config, config_from_dict
 from chipmunk_tpu.models.hunyuan import (HunyuanModelConfig, HunyuanModel,
                                          init_hunyuan_params)
-from chipmunk_tpu.models.video_sampling import hunyuan_denoise_compiled
+from chipmunk_tpu.models.video_sampling import hunyuan_denoise
 from chipmunk_tpu.models.sampling import get_schedule
+from chipmunk_tpu.utils.quant import quantize_flux_params, QuantSpec
+
+SCALES = {
+    #          latent (t, h, w)   depth      quantized
+    'small':   ((9, 48, 80),      (2, 4),    False),
+    'medium':  ((13, 90, 116),    (2, 4),    False),
+    'xl':      ((17, 90, 156),    (2, 4),    False),
+    'video':   ((33, 90, 160),    (2, 4),    False),
+    'full30k': ((9, 100, 132),    (20, 40),  True),
+}
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def bench_one(name, steps=50, trials=2):
+    (lt, lh, lw), (dd, ds), quant = SCALES[name]
     on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
-    steps = 50
-    import os
-    scale = os.environ.get('CHIPMUNK_HY_SCALE', 'small')
-    dims = {'small': (9, 48, 80), 'large': (13, 68, 120)}[scale]
     cfg = HunyuanModelConfig(
-        latent_t=dims[0], latent_h=dims[1], latent_w=dims[2],
-        depth_double=2, depth_single=4,
+        latent_t=lt, latent_h=lh, latent_w=lw,
+        depth_double=dd, depth_single=ds,
         dtype=jnp.bfloat16 if on_tpu else jnp.float32)
-    log(f"img tokens: {cfg.img_len}, seq: {cfg.seq_len}")
+    log(f"[{name}] img tokens {cfg.img_len}, seq {cfg.seq_len}, "
+        f"depth {dd}+{ds}, quant={quant}")
+
+    key = jax.random.PRNGKey(0)
+    if quant:
+        spec = QuantSpec(attn='int4', mod='int4', mlp_sparse='fp8',
+                         mlp_dense='fp8')
+        # one jit: bf16 params never materialize as program arguments
+        # (tunnel pins past args — see utils/quant.py docstring)
+        params = jax.jit(lambda k: quantize_flux_params(
+            init_hunyuan_params(k, cfg), spec))(key)
+    else:
+        params = init_hunyuan_params(key, cfg)
 
     sparse_ck = load_config('configs/hunyuan-chipmunk.yml').replace(
         steps=steps)
-    # first_n_dense scaled to reduced depth
-    sparse_ck = config_from_dict(
-        {'attn': {'first_n_dense_layers': 1}}, sparse_ck)
+    extra = {'first_n_dense_layers': min(2, dd)}
+    if quant:
+        extra['out_cache_dtype'] = 'float8_e4m3fn'
+    sparse_ck = config_from_dict({'attn': extra}, sparse_ck)
     dense_ck = config_from_dict({
         'steps': steps,
         'attn': {'is_enabled': False}, 'mlp': {'is_enabled': False},
         'step_caching': {'is_enabled': False},
     })
 
-    params = init_hunyuan_params(jax.random.PRNGKey(0), cfg)
     ks = jax.random.split(jax.random.PRNGKey(1), 3)
-    lat = jax.random.normal(ks[0], (1, cfg.in_channels, cfg.latent_t,
-                                    cfg.latent_h, cfg.latent_w), cfg.dtype)
-    txt = jax.random.normal(ks[1], (1, cfg.txt_len, cfg.text_dim), cfg.dtype)
+    lat = jax.random.normal(ks[0], (1, cfg.in_channels, lt, lh, lw),
+                            cfg.dtype)
+    txt = jax.random.normal(ks[1], (1, cfg.txt_len, cfg.text_dim),
+                            cfg.dtype)
     y = jax.random.normal(ks[2], (1, cfg.vec_in_dim), cfg.dtype)
     ts = get_schedule(steps, cfg.img_len, shift=False)
 
     def run(ck, tag):
-        model = HunyuanModel(cfg=cfg, ck=ck, use_kernels=on_tpu)
+        m = HunyuanModel(cfg=cfg, ck=ck, use_kernels=on_tpu)
         t0 = time.perf_counter()
-        out = hunyuan_denoise_compiled(model, params, lat, txt, y, ts)
-        _ = float(np.asarray(out[0, 0, 0, 0, 0]))
-        log(f"{tag}: warmup(+compile) {time.perf_counter()-t0:.1f}s")
+        out = hunyuan_denoise(m, params, lat, txt, y, ts,
+                              key=jax.random.PRNGKey(7))
+        _ = float(np.asarray(out.ravel()[0]))
+        log(f"[{name}] {tag}: warmup(+compile) {time.perf_counter()-t0:.1f}s")
         best = float('inf')
-        for i in range(2):
+        for t in range(trials):
             t0 = time.perf_counter()
-            out = hunyuan_denoise_compiled(model, params, lat, txt, y, ts)
-            _ = float(np.asarray(out[0, 0, 0, 0, 0]))
+            out = hunyuan_denoise(m, params, lat, txt, y, ts,
+                                  key=jax.random.PRNGKey(7))
+            _ = float(np.asarray(out.ravel()[0]))
             dt = time.perf_counter() - t0
-            log(f"{tag} trial {i}: {dt:.2f}s")
+            log(f"[{name}] {tag}: trial {t}: {dt:.2f}s")
             best = min(best, dt)
         return best
 
-    t_dense = run(dense_ck, 'dense')
-    t_sparse = run(sparse_ck, 'sparse')
-    speedup = t_dense / t_sparse
-    log(f"dense {t_dense:.2f}s sparse {t_sparse:.2f}s -> {speedup:.2f}x")
-    print(json.dumps({
-        "metric": "hunyuan_core_e2e_speedup",
-        "value": round(speedup, 3),
-        "unit": "x",
-        "vs_baseline": round(speedup / 3.72, 3),
-        "detail": {"dense_s": round(t_dense, 2),
-                   "sparse_s": round(t_sparse, 2),
-                   "seq": cfg.seq_len, "steps": steps,
-                   "reference": "HunyuanVideo 3.72x (README.md:87)"},
-    }))
+    t_d = run(dense_ck, 'dense')
+    t_s = run(sparse_ck, 'sparse')
+    log(f"[{name}] dense {t_d:.2f}s sparse {t_s:.2f}s "
+        f"-> {t_d/t_s:.3f}x")
+    return {"scale": name, "seq": cfg.seq_len, "depth": f"{dd}+{ds}",
+            "quantized": quant, "dense_s": round(t_d, 2),
+            "sparse_s": round(t_s, 2), "speedup": round(t_d / t_s, 3)}
+
+
+def main():
+    import os
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--scale',
+                    default=os.environ.get('CHIPMUNK_HY_SCALE', 'small'))
+    ap.add_argument('--steps', type=int, default=50)
+    args = ap.parse_args()
+    rows = []
+    for name in args.scale.split(','):
+        rows.append(bench_one(name.strip(), steps=args.steps))
+    print(json.dumps({"metric": "hunyuan_e2e_speedup_curve",
+                      "reference_baseline":
+                          "HunyuanVideo e2e 3.72x (README.md:87)",
+                      "rows": rows}))
 
 
 if __name__ == '__main__':

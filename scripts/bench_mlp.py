@@ -1,0 +1,91 @@
+"""Sparse-MLP layer microbenchmark: fused / two-kernel csp_mlp vs the
+dense XLA baseline at FLUX layer shapes (the reference's 2.5x-vs-cuBLAS
+layer claim, README.md:12).
+
+Usage: python scripts/bench_mlp.py [--keep 0.3] [--quant fp8|none]
+Prints one line per (bm, path).
+"""
+import argparse
+import sys
+
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+sys.path.insert(0, __file__.rsplit('/', 1)[0])
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from chipmunk_tpu.kernels.csp_mlp import (csp_mlp_fused, csp_mlp_mm1,
+                                          csp_mlp_mm2)
+from chipmunk_tpu.utils.quant import quantize
+from bench_util import bench_loop
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--keep', type=float, default=0.3)
+    ap.add_argument('--quant', default='fp8', choices=['fp8', 'none'])
+    ap.add_argument('--tokens', type=int, default=4608)
+    ap.add_argument('--iters', type=int, default=16)
+    args = ap.parse_args()
+
+    T, C, N = args.tokens, 3072, 12288
+    dt = jnp.bfloat16
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    x = jax.random.normal(ks[0], (T, C), dt)
+    w1t = (jax.random.normal(ks[1], (N, C)) * C ** -0.5).astype(dt)
+    b1 = jnp.zeros((N,), dt)
+    w2 = (jax.random.normal(ks[2], (N, C)) * N ** -0.5).astype(dt)
+    if args.quant == 'fp8':
+        w1u = quantize(w1t, 'fp8', keep_axes=(0,))
+        w2u = quantize(w2, 'fp8', keep_axes=(0,))
+    else:
+        w1u, w2u = w1t, w2
+
+    def dense(xx):
+        mid = xx @ w1t.T + b1
+        act = jax.nn.gelu(mid.astype(jnp.float32),
+                          approximate=True).astype(dt)
+        return act @ w2
+
+    t_dense = bench_loop(lambda xx: dense(xx).astype(dt), x,
+                         iters=args.iters)
+    fl_dense = 2 * T * C * N * 2
+    print(f"dense XLA bf16: {t_dense*1000:.2f} ms, "
+          f"{fl_dense/t_dense/1e12:.1f} TFLOP/s")
+
+    for bm in (128, 256, 512):
+        M = T // bm
+        nb = N // 128
+        sel = max(int(round(args.keep * nb)), 1)
+        rng = np.random.default_rng(0)
+        inds = np.sort(np.stack([rng.choice(nb, sel, replace=False)
+                                 for _ in range(M)]), axis=1)
+        inds = jnp.asarray(inds.astype(np.int32))
+        counts = jnp.full((M,), sel, jnp.int32)
+        cache = (jax.random.normal(ks[3], (T, N)) * 0.1
+                 ).astype(jnp.float8_e4m3fn)
+        out = jax.random.normal(ks[4], (T, C), dt) * 0.1
+        fl_sp = 2 * T * C * (sel * 128) * 2
+
+        def step_f(xx):
+            o, _ = csp_mlp_fused(xx, w1u, b1, w2u, cache, out, inds,
+                                 counts, bn=128, bm=bm)
+            return (xx + 0.0 * o[:, :C]).astype(dt)
+
+        def step_2(xx):
+            p, _ = csp_mlp_mm1(xx, w1u, b1, cache, inds, counts,
+                               bn=128, bm=bm)
+            o = csp_mlp_mm2(p, w2u, out, inds, counts, bn=128, bm=bm)
+            return (xx + 0.0 * o[:, :C]).astype(dt)
+
+        t_f = bench_loop(step_f, x, iters=args.iters)
+        t_2 = bench_loop(step_2, x, iters=args.iters)
+        print(f"bm={bm} keep={args.keep} quant={args.quant}: "
+              f"fused {t_f*1000:.2f} ms ({fl_sp/t_f/1e12:.1f} TF/s, "
+              f"{t_dense/t_f:.2f}x dense) | "
+              f"two-kernel {t_2*1000:.2f} ms ({t_dense/t_2:.2f}x)")
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,190 @@
+"""Quality evaluation harness (VERDICT r1 item 5): end-to-end output
+deviation of the chipmunk sparse pipeline vs the dense baseline over the
+full 50-step schedule, measured on final latents (cosine similarity, PSNR,
+relative L2).  No model weights / egress needed: deviation under matched
+random weights and inputs bounds the numerical effect of each sparsity /
+quantization knob.  (With real weights, ImageReward/VBench per reference
+README.md:84-95 are the gold metrics; this harness measures the same
+operating points.)
+
+Usage:
+  python scripts/quality_eval.py --model flux   [--steps 50] [--depth 4 8]
+  python scripts/quality_eval.py --model hunyuan [--steps 50]
+
+Prints one TSV row per ablation: name, cosine, psnr_db, rel_l2.
+"""
+import argparse
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from chipmunk_tpu.config import config_from_dict
+
+
+def metrics(a, b):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    mse = float(np.mean((a - b) ** 2))
+    rng = float(b.max() - b.min() + 1e-12)
+    psnr = 10 * np.log10(rng * rng / (mse + 1e-20))
+    rel = float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12))
+    return cos, psnr, rel
+
+
+# ----------------------------------------------------------------- FLUX
+
+def run_flux(args):
+    from chipmunk_tpu.models import (FluxModelConfig, init_flux_params,
+                                     FluxSparse)
+    from chipmunk_tpu.models.sampling import FluxSampler, get_schedule
+    on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    d, ds = args.depth
+    model = FluxModelConfig(depth=d, depth_single_blocks=ds,
+                            guidance_embed=True, dtype=dtype)
+    h_img, w_img = 48, 80
+    seq = model.txt_len + h_img * w_img
+    params = init_flux_params(jax.random.PRNGKey(0), model)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    img = jax.random.normal(ks[0], (1, h_img * w_img, 64), dtype)
+    txt = jax.random.normal(ks[1], (1, model.txt_len, 4096), dtype)
+    y = jax.random.normal(ks[2], (1, 768), dtype)
+    ts = get_schedule(args.steps, h_img * w_img)
+
+    def denoise(ck, prm=None):
+        sp = FluxSparse.build(ck, model, seq, use_kernels=on_tpu)
+        sampler = FluxSampler(cfg=model, ck=ck, sp=sp, h_img=h_img,
+                              w_img=w_img)
+        out = sampler.denoise(prm if prm is not None else params,
+                              img, txt, y, ts)
+        return np.asarray(out.astype(jnp.float32))
+
+    base_attn = {'top_keys': 0.165, 'full_step_every': 10,
+                 'first_n_dense_layers': min(2, d),
+                 'recompute_mask': False,
+                 'should_compress_indices': False}
+    base_mlp = {'top_keys': 0.3, 'full_step_every': 10,
+                'block_mask_cache': 2,
+                'first_n_dense_layers': min(2, d), 'bm': 512}
+    dense_ck = config_from_dict({'steps': args.steps,
+                                 'attn': {'is_enabled': False},
+                                 'mlp': {'is_enabled': False},
+                                 'step_caching': {'is_enabled': False}})
+    ref = denoise(dense_ck)
+
+    ablations = {
+        'sparse-default(+stepcache)': {
+            'attn': dict(base_attn), 'mlp': dict(base_mlp),
+            'step_caching': {'is_enabled': True}},
+        'sparse-no-stepcache': {
+            'attn': dict(base_attn), 'mlp': dict(base_mlp),
+            'step_caching': {'is_enabled': False}},
+        'attn-only': {
+            'attn': dict(base_attn), 'mlp': {'is_enabled': False},
+            'step_caching': {'is_enabled': False}},
+        'mlp-only': {
+            'attn': {'is_enabled': False}, 'mlp': dict(base_mlp),
+            'step_caching': {'is_enabled': False}},
+        'kv_block=32': {
+            'attn': dict(base_attn, kv_block=32, counts_multiple_of=32),
+            'mlp': dict(base_mlp),
+            'step_caching': {'is_enabled': True}},
+        'fp8-caches': {
+            'attn': dict(base_attn, out_cache_dtype='float8_e4m3fn'),
+            'mlp': dict(base_mlp, act_cache_dtype='float8_e4m3fn'),
+            'step_caching': {'is_enabled': True}},
+    }
+    print("name\tcosine\tpsnr_db\trel_l2", flush=True)
+    for name, cfg in ablations.items():
+        cfg = dict(cfg)
+        cfg['steps'] = args.steps
+        t0 = time.perf_counter()
+        out = denoise(config_from_dict(cfg))
+        cos, psnr, rel = metrics(out, ref)
+        print(f"{name}\t{cos:.5f}\t{psnr:.1f}\t{rel:.4f}"
+              f"\t({time.perf_counter()-t0:.0f}s)", flush=True)
+
+    # fp8/int4 weight quantization deviation (dense pipeline, so the
+    # number isolates weight storage, not sparsity)
+    from chipmunk_tpu.utils.quant import quantize_flux_params, QuantSpec
+    for name, spec in [
+            ('weights-fp8(dense)', QuantSpec()),
+            ('weights-int4attn-fp8mlp(dense)',
+             QuantSpec(attn='int4', mod='int4', mlp_sparse='fp8',
+                       mlp_dense='fp8'))]:
+        qp = quantize_flux_params(params, spec)
+        out = denoise(dense_ck, prm=qp)
+        cos, psnr, rel = metrics(out, ref)
+        print(f"{name}\t{cos:.5f}\t{psnr:.1f}\t{rel:.4f}", flush=True)
+
+
+# --------------------------------------------------------------- Hunyuan
+
+def run_hunyuan(args):
+    from chipmunk_tpu.models.hunyuan import (HunyuanModelConfig,
+                                             HunyuanModel,
+                                             init_hunyuan_params)
+    from chipmunk_tpu.models.video_sampling import hunyuan_denoise
+    on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    cfg = HunyuanModelConfig(latent_t=6, latent_h=32, latent_w=56,
+                             depth_double=args.depth[0],
+                             depth_single=args.depth[1], dtype=dtype)
+    params = init_hunyuan_params(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    lat = jax.random.normal(ks[0], (1, 16, cfg.latent_t, cfg.latent_h,
+                                    cfg.latent_w), dtype)
+    txt = jax.random.normal(ks[1], (1, 256, 4096), dtype)
+    y = jax.random.normal(ks[2], (1, 768), dtype)
+    ts = jnp.linspace(1.0, 0.0, args.steps + 1)
+
+    def denoise(ck):
+        m = HunyuanModel(cfg=cfg, ck=ck, use_kernels=on_tpu)
+        out = hunyuan_denoise(m, params, lat, txt, y, ts,
+                              key=jax.random.PRNGKey(7))
+        return np.asarray(out.astype(jnp.float32))
+
+    dense = {'steps': args.steps, 'attn': {'is_enabled': False},
+             'mlp': {'is_enabled': False},
+             'step_caching': {'is_enabled': False}}
+    ref = denoise(config_from_dict(dense))
+    base_attn = {'top_keys': 0.05, 'random_keys': 0.01, 'local_voxels': 3,
+                 'first_n_dense_layers': 2,
+                 'full_step_schedule': [0, 1, 10, 40],
+                 'should_compress_indices': True, 'recompute_mask': True}
+    ablations = {
+        'hunyuan-default(frac0.25)': dict(max_selected_frac=0.25),
+        'frac-uncapped(1.0)': dict(max_selected_frac=1.0),
+        'kv_block=32': dict(max_selected_frac=0.25, kv_block=32,
+                            counts_multiple_of=32),
+    }
+    print("name\tcosine\tpsnr_db\trel_l2", flush=True)
+    for name, extra in ablations.items():
+        ck = config_from_dict({
+            'steps': args.steps,
+            'attn': dict(base_attn, **extra),
+            'mlp': {'is_enabled': False},
+            'step_caching': {'is_enabled': True}})
+        t0 = time.perf_counter()
+        out = denoise(ck)
+        cos, psnr, rel = metrics(out, ref)
+        print(f"{name}\t{cos:.5f}\t{psnr:.1f}\t{rel:.4f}"
+              f"\t({time.perf_counter()-t0:.0f}s)", flush=True)
+
+
+if __name__ == '__main__':
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--model', default='flux', choices=['flux', 'hunyuan'])
+    ap.add_argument('--steps', type=int, default=50)
+    ap.add_argument('--depth', type=int, nargs=2, default=[4, 8])
+    args = ap.parse_args()
+    if args.model == 'flux':
+        run_flux(args)
+    else:
+        run_hunyuan(args)

@@ -153,3 +153,36 @@ def test_csp_attn_kv_valid_excludes_pad(mode):
     o2 = csp_attn(q, k2, v2, inds, counts, qg=128, kv_block=kvb, mode=mode,
                   kv_valid=kv_valid, interpret=True)
     np.testing.assert_allclose(o, o2, atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.parametrize('wq', [False, True])
+def test_csp_mlp_fused_matches_two_kernel(wq):
+    """Fused mm1+mm2 == the two-kernel chain (packed delta never hits
+    HBM in the fused path)."""
+    from chipmunk_tpu.kernels.csp_mlp import csp_mlp_fused, csp_mlp_mm1, \
+        csp_mlp_mm2
+    from chipmunk_tpu.utils.quant import quantize
+    T, C, N, bn, bm = 256, 128, 512, 128, 128
+    ks = jax.random.split(jax.random.PRNGKey(5), 6)
+    x = jax.random.normal(ks[0], (T, C), jnp.float32)
+    w1t = jax.random.normal(ks[1], (N, C)) * C ** -0.5
+    b1 = jax.random.normal(ks[2], (N,)) * 0.1
+    w2 = jax.random.normal(ks[3], (N, C)) * N ** -0.5
+    cache = jax.random.normal(ks[4], (T, N), jnp.float32) * 0.1
+    out = jax.random.normal(ks[5], (T, C), jnp.float32) * 0.1
+    M = T // bm
+    inds = jnp.tile(jnp.asarray([[0, 2, 3]], jnp.int32), (M, 1))
+    counts = jnp.asarray([3, 2], jnp.int32)
+    if wq:
+        w1t = quantize(w1t, 'fp8', keep_axes=(0,))
+        w2 = quantize(w2, 'fp8', keep_axes=(0,))
+    o1, c1 = csp_mlp_fused(x, w1t, b1, w2, cache, out, inds, counts,
+                           bn=bn, bm=bm, interpret=True)
+    packed, c2 = csp_mlp_mm1(x, w1t, b1, cache, inds, counts,
+                             bn=bn, bm=bm, interpret=True)
+    o2 = csp_mlp_mm2(packed, w2, out, inds, counts, bn=bn, bm=bm,
+                     interpret=True)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
+                               atol=1e-6, rtol=1e-6)
