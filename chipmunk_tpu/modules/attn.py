@@ -90,6 +90,14 @@ class SparseDiffAttn:
     # the reference's slicing (hyvideo attenion.py:106-117) and padded-lse
     # zeroing (modules/attn.py:117-129)
     valid_len: Optional[int] = None
+    # first query group of the exact-dense tail: groups whose static mask
+    # (+ top-k) covers ~the whole sequence (text rows) do dense-equivalent
+    # work anyway (reference attn.py:67 is_sparse flags), so instead of
+    # clamping their gather list at jmax (round-1's max_selected_frac
+    # truncation, a quality risk) they are recomputed EXACTLY with a small
+    # dense flash every sparse step.  None = no tail (all groups sparse,
+    # or the non-sparse set is not a contiguous suffix).
+    dense_tail_g: Optional[int] = None
 
     @staticmethod
     def build(cfg: AttnConfig, seq_len: int,
@@ -116,18 +124,36 @@ class SparseDiffAttn:
             n_static = static_mask.sum(-1) * cfg.kv_block
             sparse_qg = ((n_static + sel_blocks * cfg.kv_block)
                          < seq_len)[:, None]
+        # Exact-dense tail: when the non-sparse query groups form a
+        # contiguous suffix (hunyuan: the text rows), exclude them from the
+        # gather capacity and recompute them exactly per step instead of
+        # clamping their coverage.
+        dense_tail_g = None
+        sparse_rows = None
+        if sparse_qg is not None:
+            import numpy as np
+            nsq = ~np.asarray(sparse_qg[:, 0])
+            if nsq.any():
+                first = int(np.argmax(nsq))
+                if nsq[first:].all():          # contiguous suffix
+                    dense_tail_g = first
+                    sparse_rows = ~nsq
         # static capacity for selected blocks = top-k + static mask + a
         # random-keep margin, capped by max_selected_frac (the gather
         # scratch in the kernels is sized by this, so keep it tight)
         static_max = 0
         if static_mask is not None:
-            static_max = int(jnp.max(static_mask.sum(-1)))
+            sm_rows = static_mask
+            if sparse_rows is not None:
+                sm_rows = static_mask[jnp.asarray(sparse_rows)]
+            if sm_rows.shape[0]:
+                static_max = int(jnp.max(sm_rows.sum(-1)))
         rand_margin = (max(8, int(3 * cfg.random_keys * nb))
                        if (cfg.should_compress_indices
                            and cfg.random_keys > 0) else 0)
         need = sel_blocks + static_max + rand_margin
-        cap = nb if cfg.max_selected_frac >= 1.0 else int(
-            nb * cfg.max_selected_frac)
+        cap = nb if (cfg.max_selected_frac >= 1.0 or dense_tail_g is not None
+                     ) else int(nb * cfg.max_selected_frac)
         jmax = max(min(need, cap, nb), 1)
         jmax = min(-(-jmax // mult_b) * mult_b, nb)
         if valid_len is not None and valid_len >= seq_len:
@@ -136,7 +162,7 @@ class SparseDiffAttn:
                               sel_blocks=sel_blocks, static_mask=static_mask,
                               sparse_query_groups=sparse_qg,
                               use_kernels=use_kernels, interpret=interpret,
-                              valid_len=valid_len)
+                              valid_len=valid_len, dense_tail_g=dense_tail_g)
 
     # ---------------------------------------------------------------- ops
     def _fix_pad_lse(self, lse):
@@ -221,6 +247,11 @@ class SparseDiffAttn:
         inds, counts = indexing.mask_to_indices(mask, mult_b)
         inds = inds[..., :self.jmax]
         counts = jnp.clip(counts, 1, self.jmax)
+        if self.dense_tail_g is not None:
+            # exact-dense tail rows skip the gather entirely (their output
+            # is recomputed densely in sparse_step)
+            g = jnp.arange(counts.shape[-1])
+            counts = jnp.where(g >= self.dense_tail_g, 1, counts)
         return inds, counts
 
     def _stored_inds(self, state: AttnState
@@ -272,8 +303,16 @@ class SparseDiffAttn:
                     ) -> Tuple[jnp.ndarray, AttnState]:
         inds, counts = self._stored_inds(state)
         o_sp = self._csp(q, k, v, inds, counts)
-        return (state.out_cache.astype(jnp.float32)
-                + o_sp.astype(jnp.float32)).astype(q.dtype), state
+        o = (state.out_cache.astype(jnp.float32)
+             + o_sp.astype(jnp.float32)).astype(q.dtype)
+        if self.dense_tail_g is not None:
+            # ultra-dense (text) query groups: exact dense recompute — no
+            # clamped coverage, no delta cache (reference attn.py:67 flags
+            # these rows; its kernel then loops the whole sequence)
+            t0 = self.dense_tail_g * self.cfg.mbm
+            o_tail, _ = self._dense(q[..., t0:, :], k, v)
+            o = o.at[..., t0:, :].set(o_tail.astype(o.dtype))
+        return o, state
 
     # ------------------------------------------------------------ frontend
     def __call__(self, q, k, v, state: AttnState, *, step_index: int,

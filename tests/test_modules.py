@@ -237,3 +237,36 @@ def test_attn_compressed_index_storage_parity():
         o_u, st_u = getattr(mod_u, step_fn)(q, k, v, st_u)
         np.testing.assert_allclose(o_c, o_u, atol=1e-5,
                                    err_msg=step_fn)
+
+
+def test_attn_dense_tail_exact_for_text_groups():
+    """Query groups whose static mask covers the whole sequence (text
+    rows) are recomputed exactly on sparse steps — no max_selected_frac
+    truncation (VERDICT r1 item 7)."""
+    import numpy as onp
+    B, H, S, D = 1, 2, 512, 64
+    G, NB = S // 128, S // 32
+    # static mask: last group covers EVERYTHING; others cover 2 blocks
+    sm = onp.zeros((G, S), bool)
+    sm[:, :64] = True
+    sm[-1, :] = True
+    cfg = AttnConfig(top_keys=0.1, kv_block=32, counts_multiple_of=32,
+                     random_keys=0.0, should_compress_indices=True,
+                     max_selected_frac=0.3)
+    mod = SparseDiffAttn.build(cfg, S, static_mask_tokens=jnp.asarray(sm),
+                               use_kernels=False)
+    assert mod.dense_tail_g == G - 1
+    # jmax sized by the SPARSE rows only: far below the 0.3 cap over NB
+    assert mod.jmax < int(0.3 * NB) + 4
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    q, k, v = (jax.random.normal(kk, (B, H, S, D), jnp.float32) for kk in ks)
+    st = mod.init_state(B, H, D, jnp.float32)
+    o, st = mod.full_step_first(q, k, v, st)
+    o, st = mod.full_step_colsum(q, k, v, st, jax.random.PRNGKey(9))
+    o_sp, st = mod.sparse_step(q, k, v, st)
+    from chipmunk_tpu.ops import attn_ref
+    o_dense, _ = attn_ref.dense_attn_ref(q, k, v)
+    # tail rows exactly dense
+    np.testing.assert_allclose(
+        np.asarray(o_sp[..., -128:, :]), np.asarray(o_dense[..., -128:, :]),
+        atol=1e-5, rtol=1e-5)
