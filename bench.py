@@ -45,23 +45,19 @@ def _build(depth, depth_single, quantize):
     import jax
     import jax.numpy as jnp
     from chipmunk_tpu.models import FluxModelConfig, init_flux_params
-    from chipmunk_tpu.utils.quant import quantize_flux_params, QuantSpec
 
     on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     model = FluxModelConfig(depth=depth, depth_single_blocks=depth_single,
                             guidance_embed=True, dtype=dtype)
-    key = jax.random.PRNGKey(0)
     if quantize:
-        # init+quantize fused in ONE jit: bf16 params exist only as
-        # program temps (the tunnel pins past programs' argument buffers,
-        # so materializing 22GiB of bf16 then quantizing would leak it)
-        spec = QuantSpec(attn='int4', mod='int4', mlp_sparse='fp8',
-                         mlp_dense='int4')
-        params = jax.jit(lambda k: quantize_flux_params(
-            init_flux_params(k, model), spec))(key)
+        # HOST-side synthesis of the quantized params: device-side
+        # init+quantize churn degrades the tunnel allocator and later
+        # large model programs fail (utils/quant.quantize_host docstring)
+        from chipmunk_tpu.utils.quant import synth_quantized_flux_params
+        params = synth_quantized_flux_params(0, model)
     else:
-        params = init_flux_params(key, model)
+        params = init_flux_params(jax.random.PRNGKey(0), model)
     return model, params, on_tpu
 
 

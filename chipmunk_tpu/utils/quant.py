@@ -181,3 +181,136 @@ def quantize_flux_params(params, spec: QuantSpec = QuantSpec()):
 def param_bytes(tree) -> int:
     return sum(x.size * x.dtype.itemsize
                for x in jax.tree_util.tree_leaves(tree))
+
+
+# ------------------------------------------------- host-side quantization
+
+def quantize_host(w, kind: str, keep_axes, pack_axis=None) -> QTensor:
+    """Numpy-side quantize (same formats as quantize()) for weights that
+    originate on the HOST (safetensors loads, synthetic benches).
+
+    Why host-side: on the v5e tunnel, running large device-side
+    init/transform programs degrades the allocator such that later big
+    model programs fail with opaque RESOURCE_EXHAUSTED even when their
+    declared footprint fits.  Quantizing in numpy and device_put-ing only
+    the final arrays keeps the device heap pristine."""
+    import numpy as np
+    import ml_dtypes
+    if isinstance(keep_axes, int):
+        keep_axes = (keep_axes,)
+    keep_axes = tuple(a % w.ndim for a in keep_axes)
+    wf = np.asarray(w, np.float32)
+    red = tuple(i for i in range(w.ndim) if i not in keep_axes)
+    amax = np.maximum(np.abs(wf).max(axis=red, keepdims=True), 1e-8)
+    if kind == 'fp8':
+        scale = amax / F8_MAX
+        q = (wf / scale).astype(ml_dtypes.float8_e4m3fn)
+        pack_axis = None
+    elif kind == 'int8':
+        scale = amax / 127.0
+        q = np.clip(np.round(wf / scale), -127, 127).astype(np.int8)
+        pack_axis = None
+    elif kind == 'int4':
+        assert pack_axis is not None and pack_axis % w.ndim not in keep_axes
+        assert w.shape[pack_axis] % 2 == 0
+        scale = amax / 7.0
+        qi = (np.clip(np.round(wf / scale), -8, 7).astype(np.int32) + 8)
+        half = w.shape[pack_axis] // 2
+        sl = [slice(None)] * w.ndim
+        sl[pack_axis] = slice(0, half)
+        lo = qi[tuple(sl)]
+        sl[pack_axis] = slice(half, 2 * half)
+        hi = qi[tuple(sl)]
+        q = (lo | (hi << 4)).astype(np.uint8)
+        pack_axis = pack_axis - w.ndim if pack_axis >= 0 else pack_axis
+    else:
+        raise ValueError(kind)
+    return QTensor(q=jax.device_put(q),
+                   scale=jax.device_put(scale.astype(np.float32)),
+                   pack_axis=pack_axis)
+
+
+def synth_quantized_params(seed: int, shapes,
+                           spec: QuantSpec = QuantSpec(
+                               attn='int4', mod='int4',
+                               mlp_sparse='fp8', mlp_dense='int4')):
+    """Synthesize a quantized param tree DIRECTLY on the host from a
+    jax.eval_shape tree (random bytes in the quantized representations;
+    scales set to fan-in-normalized constants) and device_put the
+    results.  For speed benches with random weights this is
+    exact-cost-equivalent to quantizing real weights, without ever
+    materializing bf16 params on device (see quantize_host docstring
+    for why that matters).  Works for any tree with FLUX-style block
+    naming ('double'/'single' subtrees; extra subtrees like hunyuan's
+    refiner stay unquantized bf16)."""
+    import numpy as np
+    import ml_dtypes
+    rng = np.random.default_rng(seed)
+
+    def fp8_qt(shape, fan_in, scale_axes):
+        b = rng.integers(0, 0x3F, size=shape, dtype=np.uint8)
+        sign = rng.integers(0, 2, size=shape, dtype=np.uint8) << 7
+        q = (b | sign).view(ml_dtypes.float8_e4m3fn)
+        ss = [1] * len(shape)
+        for a in scale_axes:
+            ss[a] = shape[a]
+        scale = np.full(ss, fan_in ** -0.5 / 4.0, np.float32)
+        return QTensor(q=jax.device_put(q), scale=jax.device_put(scale),
+                       pack_axis=None)
+
+    def int4_qt(shape, fan_in, pack_axis, scale_axes):
+        ps = list(shape)
+        ps[pack_axis] //= 2
+        q = rng.integers(0, 255, size=ps, dtype=np.uint8)
+        ss = [1] * len(shape)
+        for a in scale_axes:
+            ss[a] = shape[a]
+        scale = np.full(ss, fan_in ** -0.5 / 7.0, np.float32)
+        return QTensor(q=jax.device_put(q), scale=jax.device_put(scale),
+                       pack_axis=pack_axis - len(shape))
+
+    def qt(shape, fan_in, kind, pack_axis, scale_axes):
+        if kind == 'int4':
+            return int4_qt(shape, fan_in, pack_axis, scale_axes)
+        return fp8_qt(shape, fan_in, scale_axes)
+
+    def leaf(path, sd):
+        names = [str(getattr(p, 'key', p)) for p in path]
+        name = names[-1]
+        shape, dtype = sd.shape, sd.dtype
+        in_blocks = any("'double'" in n or "'single'" in n
+                        or n in ('double', 'single') for n in names)
+        is_lin_w = name.strip("'") == 'w' and len(shape) >= 2
+        base = name.strip("'")
+        is_raw = base.endswith(('w1t', 'w2')) and len(shape) >= 2
+        if in_blocks and is_lin_w and spec.attn:
+            # [L, in, out]: pack along in; scale per (L, out)
+            mod_like = 'mod' in ''.join(names)
+            kind = spec.mod if mod_like else spec.attn
+            if kind:
+                return qt(shape, shape[-2], kind, len(shape) - 2,
+                          ([0, len(shape) - 1] if len(shape) == 3
+                           else [len(shape) - 1]))
+        if in_blocks and is_raw:
+            kind = spec.mlp_dense if base.startswith('txt_') else \
+                spec.mlp_sparse
+            if kind:
+                # [L, N, C]: pack along C; scale per (L, N)
+                return qt(shape, shape[-1], kind, len(shape) - 1,
+                          ([0, 1] if len(shape) == 3 else [0]))
+        arr = (rng.standard_normal(shape) * 0.02).astype(
+            ml_dtypes.bfloat16 if dtype == jnp.bfloat16
+            else np.dtype(dtype))
+        return jax.device_put(arr)
+
+    return jax.tree_util.tree_map_with_path(leaf, shapes)
+
+
+def synth_quantized_flux_params(seed: int, model,
+                                spec: QuantSpec = QuantSpec(
+                                    attn='int4', mod='int4',
+                                    mlp_sparse='fp8', mlp_dense='int4')):
+    from ..models import init_flux_params
+    shapes = jax.eval_shape(lambda k: init_flux_params(k, model),
+                            jax.random.PRNGKey(0))
+    return synth_quantized_params(seed, shapes, spec)

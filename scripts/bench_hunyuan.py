@@ -33,7 +33,7 @@ from chipmunk_tpu.models.hunyuan import (HunyuanModelConfig, HunyuanModel,
                                          init_hunyuan_params)
 from chipmunk_tpu.models.video_sampling import hunyuan_denoise
 from chipmunk_tpu.models.sampling import get_schedule
-from chipmunk_tpu.utils.quant import quantize_flux_params, QuantSpec
+from chipmunk_tpu.utils.quant import synth_quantized_params, QuantSpec
 
 SCALES = {
     #          latent (t, h, w)   depth      quantized
@@ -61,12 +61,12 @@ def bench_one(name, steps=50, trials=2):
 
     key = jax.random.PRNGKey(0)
     if quant:
-        spec = QuantSpec(attn='int4', mod='int4', mlp_sparse='fp8',
-                         mlp_dense='fp8')
-        # one jit: bf16 params never materialize as program arguments
-        # (tunnel pins past args — see utils/quant.py docstring)
-        params = jax.jit(lambda k: quantize_flux_params(
-            init_hunyuan_params(k, cfg), spec))(key)
+        # host-side synthesis: device-side init+quantize churn degrades
+        # the tunnel allocator (utils/quant.quantize_host docstring)
+        shapes = jax.eval_shape(lambda k: init_hunyuan_params(k, cfg), key)
+        params = synth_quantized_params(
+            0, shapes, QuantSpec(attn='int4', mod='int4',
+                                 mlp_sparse='fp8', mlp_dense='fp8'))
     else:
         params = init_hunyuan_params(key, cfg)
 

@@ -1,0 +1,99 @@
+"""Wan2.1-T2V-1.3B e2e benchmark at FULL depth (30 layers, real model
+scale — 1.3B params fit bf16 on one chip) with the CFG dual-invocation
+loop (num_model_invocations_per_inference_step=2, reference wan
+chipmunk-config.yml), sparse vs dense.  The reference publishes no Wan
+numbers (BASELINE.md), so this series establishes ours.
+
+Emits one JSON line {seq, depth, dense_s, sparse_s, speedup}.
+"""
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, '/'.join(__file__.split('/')[:-2]))
+
+import jax
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/.cache/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+
+from chipmunk_tpu.config import load_config, config_from_dict
+from chipmunk_tpu.models.wan import (WanModelConfig, WanModel,
+                                     init_wan_params)
+from chipmunk_tpu.models.video_sampling import wan_denoise
+from chipmunk_tpu.models.sampling import get_schedule
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--steps', type=int, default=50)
+    ap.add_argument('--trials', type=int, default=1)
+    ap.add_argument('--layers', type=int, default=30)
+    # 480x832x81 frames -> latent (21, 60, 104) -> seq 32,760 (the real
+    # Wan2.1-1.3B default, reference text2video.py)
+    ap.add_argument('--latent', type=int, nargs=3, default=[21, 60, 104])
+    args = ap.parse_args()
+    on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
+    lt, lh, lw = args.latent
+    cfg = WanModelConfig(latent_t=lt, latent_h=lh, latent_w=lw,
+                         num_layers=args.layers,
+                         dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+    log(f"wan: seq {cfg.seq_len}, layers {args.layers}")
+    params = init_wan_params(jax.random.PRNGKey(0), cfg)
+
+    sparse_ck = load_config('configs/wan-chipmunk.yml').replace(
+        steps=args.steps)
+    dense_ck = config_from_dict({
+        'steps': args.steps,
+        'num_model_invocations_per_inference_step': 2,
+        'attn': {'is_enabled': False}, 'mlp': {'is_enabled': False},
+        'step_caching': {'is_enabled': False},
+    })
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    lat = jax.random.normal(ks[0], (1, cfg.in_channels, lt, lh, lw),
+                            cfg.dtype)
+    ctx_c = jax.random.normal(ks[1], (1, cfg.txt_len, cfg.text_dim),
+                              cfg.dtype)
+    ctx_u = jax.random.normal(ks[2], (1, cfg.txt_len, cfg.text_dim),
+                              cfg.dtype)
+    ts = get_schedule(args.steps, cfg.seq_len, shift=False)
+
+    def run(ck, tag):
+        m = WanModel(cfg=cfg, ck=ck, use_kernels=on_tpu)
+        t0 = time.perf_counter()
+        out = wan_denoise(m, params, lat, ctx_c, ctx_u, ts,
+                          key=jax.random.PRNGKey(7))
+        _ = float(np.asarray(out.ravel()[0]))
+        log(f"{tag}: warmup(+compile) {time.perf_counter()-t0:.1f}s")
+        best = float('inf')
+        for t in range(args.trials):
+            t0 = time.perf_counter()
+            out = wan_denoise(m, params, lat, ctx_c, ctx_u, ts,
+                              key=jax.random.PRNGKey(7))
+            _ = float(np.asarray(out.ravel()[0]))
+            dt = time.perf_counter() - t0
+            log(f"{tag}: trial {t}: {dt:.2f}s")
+            best = min(best, dt)
+        return best
+
+    t_d = run(dense_ck, 'dense')
+    t_s = run(sparse_ck, 'sparse')
+    log(f"dense {t_d:.2f}s sparse {t_s:.2f}s -> {t_d/t_s:.3f}x")
+    print(json.dumps({
+        "metric": "wan_e2e_speedup_sparse_vs_dense",
+        "seq": cfg.seq_len, "layers": args.layers,
+        "dense_s": round(t_d, 2), "sparse_s": round(t_s, 2),
+        "speedup": round(t_d / t_s, 3),
+        "note": "full 30-layer Wan2.1-1.3B shapes, CFG 2 invocations/step; "
+                "reference publishes no Wan numbers (BASELINE.md)"}))
+
+
+if __name__ == '__main__':
+    main()
