@@ -54,8 +54,14 @@ def _build(depth, depth_single, quantize):
         # HOST-side synthesis of the quantized params: device-side
         # init+quantize churn degrades the tunnel allocator and later
         # large model programs fail (utils/quant.quantize_host docstring)
-        from chipmunk_tpu.utils.quant import synth_quantized_flux_params
-        params = synth_quantized_flux_params(0, model)
+        from chipmunk_tpu.utils.quant import (synth_quantized_flux_params,
+                                              QuantSpec)
+        # int8 (not fp8) for the kernel-gathered MLP weights: Mosaic's
+        # fp8->bf16 convert is slow (7.1 vs 2.1 ms per layer measured);
+        # int8 converts are ~free
+        params = synth_quantized_flux_params(
+            0, model, QuantSpec(attn='int4', mod='int4',
+                                mlp_sparse='int8', mlp_dense='int4'))
     else:
         params = init_flux_params(jax.random.PRNGKey(0), model)
     return model, params, on_tpu
@@ -160,7 +166,7 @@ def main():
             **detail,
             "model": "FLUX.1-dev shapes, 1280x768, 50 steps, attn "
                      "top_keys=0.165, mlp top_keys=0.3, step caching; "
-                     "weights int4(attn/mod)+fp8(mlp), fp8 act/out caches "
+                     "weights int4(attn/mod)+int8(mlp), fp8 act/out caches "
                      "(v5e 15.75GiB residency design)",
             "reference_baseline": "FLUX.1-dev e2e 1.63x (README.md:95)",
         },

@@ -269,9 +269,21 @@ def synth_quantized_params(seed: int, shapes,
         return QTensor(q=jax.device_put(q), scale=jax.device_put(scale),
                        pack_axis=pack_axis - len(shape))
 
+    def int8_qt(shape, fan_in, scale_axes):
+        q = rng.integers(-127, 128, size=shape, dtype=np.int64
+                         ).astype(np.int8)
+        ss = [1] * len(shape)
+        for a in scale_axes:
+            ss[a] = shape[a]
+        scale = np.full(ss, fan_in ** -0.5 / 127.0, np.float32)
+        return QTensor(q=jax.device_put(q), scale=jax.device_put(scale),
+                       pack_axis=None)
+
     def qt(shape, fan_in, kind, pack_axis, scale_axes):
         if kind == 'int4':
             return int4_qt(shape, fan_in, pack_axis, scale_axes)
+        if kind == 'int8':
+            return int8_qt(shape, fan_in, scale_axes)
         return fp8_qt(shape, fan_in, scale_axes)
 
     def leaf(path, sd):
