@@ -46,9 +46,11 @@ from ..ops.attn_ref import attn_scale
 
 NEG_INF = -1.0e30
 MAX_KV_BLOCK = 128   # gather granule upper bound (one MXU tile)
-# total VMEM footprint cap for the resident mode (q+k+v+o whole-head plus
-# double-buffered gather scratch); the Mosaic scoped-vmem limit is 16MB
-VMEM_BUDGET = 12 * 1024 * 1024
+# Raise Mosaic's scoped-vmem cap (default 16MB; v5e has 128MB VMEM) —
+# the resident mode stages whole K/V heads plus gather scratch
+VMEM_LIMIT = 64 * 1024 * 1024
+# total VMEM footprint cap for choosing the resident mode
+VMEM_BUDGET = 40 * 1024 * 1024
 
 
 def pad_block_indices(inds: jnp.ndarray, counts: jnp.ndarray) -> jnp.ndarray:
@@ -342,6 +344,8 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                 pltpu.VMEM((2, jmax * kv_block, D), v.dtype),
                 pltpu.SemaphoreType.DMA((2, 2, jmax)),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_LIMIT),
             interpret=interpret,
         )(indsf, countsf, *extra_in, qf, kf, vf)
     else:
@@ -370,7 +374,8 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                 pltpu.SemaphoreType.DMA((2, jmax)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True, vmem_limit_bytes=VMEM_LIMIT),
             interpret=interpret,
         )(indsf, countsf, *extra_in, qf, kf, vf)
     return o.reshape(B, H, Sq, D)
