@@ -49,8 +49,6 @@ MAX_KV_BLOCK = 128   # gather granule upper bound (one MXU tile)
 # Raise Mosaic's scoped-vmem cap (default 16MB; v5e has 128MB VMEM) —
 # the resident mode stages whole K/V heads plus gather scratch
 VMEM_LIMIT = 64 * 1024 * 1024
-# total VMEM footprint cap for choosing the resident mode
-VMEM_BUDGET = 40 * 1024 * 1024
 
 
 def pad_block_indices(inds: jnp.ndarray, counts: jnp.ndarray) -> jnp.ndarray:
@@ -304,9 +302,12 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     mask_kv = kv_valid is not None and kv_valid < Sk
 
     if mode == 'auto':
+        # Pallas double-buffers the whole-head input/output blocks, so the
+        # true footprint is 2x the resident q/k/v/o plus gather scratch
         resident = (2 * Sk + 2 * Sq) * D * k.dtype.itemsize
         scratch = 4 * jmax * kv_block * D * k.dtype.itemsize
-        mode = 'vmem' if resident + scratch <= VMEM_BUDGET else 'hbm'
+        mode = ('vmem' if 2 * resident + scratch + (4 << 20) <= VMEM_LIMIT
+                else 'hbm')
 
     qf = q.reshape(B * H, Sq, D)
     kf = k.reshape(B * H, Sk, D)

@@ -125,3 +125,39 @@ def load_flux_safetensors(path: str, cfg: FluxModelConfig) -> Dict:
         for k in f.keys():
             sd[k] = f.get_tensor(k)
     return load_flux_params(sd, cfg)
+
+
+def load_ae_decoder_safetensors(path: str, dtype=None):
+    """Load the BFL FLUX autoencoder (ae.safetensors) decoder subtree into
+    the models/autoencoder.py param layout (host-side; arrays device_put
+    lazily at first use)."""
+    import numpy as np
+    from safetensors import safe_open
+    import jax.numpy as jnp
+    dtype = dtype or jnp.float32
+    flat = {}
+    with safe_open(path, framework='np') as f:
+        for k in f.keys():
+            if k.startswith('decoder.'):
+                flat[k[len('decoder.'):]] = np.asarray(f.get_tensor(k))
+    tree: dict = {}
+    for k, v in flat.items():
+        parts = k.split('.')
+        cur = tree
+        for p in parts[:-1]:
+            cur = cur.setdefault(int(p) if p.isdigit() else p, {})
+        cur[parts[-1]] = jnp.asarray(v, dtype)
+
+    # 'up.N.block.M' dict-of-int -> list for block sequences
+    def listify(d):
+        if isinstance(d, dict):
+            if d and all(isinstance(x, int) for x in d):
+                if set(d) == set(range(len(d))):
+                    return [listify(d[i]) for i in range(len(d))]
+            return {k: listify(v) for k, v in d.items()}
+        return d
+
+    tree = {k: listify(v) for k, v in tree.items()}
+    if isinstance(tree.get('up'), list):
+        tree['up'] = {i: v for i, v in enumerate(tree['up'])}
+    return {'decoder': tree}

@@ -33,6 +33,13 @@ def main():
     ap.add_argument('--steps', type=int, default=50)
     ap.add_argument('--guidance', type=float, default=4.0)
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--t5', default=None,
+                    help='local T5-XXL encoder dir (transformers Flax)')
+    ap.add_argument('--clip', default=None,
+                    help='local CLIP-L text dir (transformers Flax)')
+    ap.add_argument('--ae', default=None,
+                    help='local ae.safetensors for pixel decode')
+    ap.add_argument('--prompt', default=None)
     ap.add_argument('--ckpt', default=None,
                     help='flux1-dev.safetensors path (optional)')
     ap.add_argument('--depth', type=int, default=19)
@@ -70,9 +77,19 @@ def main():
     key = jax.random.PRNGKey(args.seed)
     ks = jax.random.split(key, 3)
     img = jax.random.normal(ks[0], (1, h_img * w_img, 64), model.dtype)
-    # plug real T5/CLIP embeddings here; zeros keep the demo deterministic
-    txt = jnp.zeros((1, model.txt_len, 4096), model.dtype)
-    y = jnp.zeros((1, 768), model.dtype)
+    if args.prompt and args.t5 and args.clip:
+        from chipmunk_tpu.models.encoders import TextEncoders
+        enc = TextEncoders(t5_path=args.t5, clip_path=args.clip,
+                           max_length=model.txt_len)
+        txt, y_enc = enc.embed([args.prompt])
+        enc.release()
+        txt = txt.astype(model.dtype)
+    else:
+        txt = jnp.zeros((1, model.txt_len, 4096), model.dtype)
+    if args.prompt and args.t5 and args.clip:
+        y = y_enc.astype(model.dtype)
+    else:
+        y = jnp.zeros((1, 768), model.dtype)
     ts = get_schedule(args.steps, h_img * w_img)
 
     timer = StepTimer()
@@ -82,6 +99,26 @@ def main():
                                            guidance=args.guidance, key=ks[2])
             jax.block_until_ready(out)
     import numpy as np
+    if args.ae:
+        # latent tokens [1, S, 64] -> z [1, 16, H/8, W/8] (2x2 patches of
+        # 16 channels, reference sampling.unpack) -> pixels
+        from chipmunk_tpu.models.autoencoder import decode
+        from chipmunk_tpu.models.loaders import load_ae_decoder_safetensors
+        ae = load_ae_decoder_safetensors(args.ae)
+        z = np.asarray(out, np.float32).reshape(1, h_img, w_img, 16, 2, 2)
+        z = z.transpose(0, 3, 1, 4, 2, 5).reshape(1, 16, 2 * h_img,
+                                                  2 * w_img)
+        imgpx = decode(ae, jnp.asarray(z))
+        arr = np.asarray(imgpx, np.float32)[0].transpose(1, 2, 0)
+        arr = np.clip((arr + 1) * 127.5, 0, 255).astype(np.uint8)
+        png = args.out.rsplit('.', 1)[0] + '.png'
+        try:
+            from PIL import Image
+            Image.fromarray(arr).save(png)
+            print(f"image -> {png}")
+        except Exception:
+            np.save(png + '.npy', arr)
+            print(f"image array -> {png}.npy")
     np.save(args.out, np.asarray(out, np.float32))
     timer.log()
     print(f"latents -> {args.out}  ({width}x{height}, {args.steps} steps)")

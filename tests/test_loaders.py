@@ -112,3 +112,32 @@ def test_single_block_split_algebra():
                  + jax.nn.gelu(mlp_s, approximate=True) @ p0['w2'])
     np.testing.assert_allclose(np.asarray(out_split), np.asarray(out_fused),
                                atol=1e-4)
+
+
+def test_ae_decoder_shapes_and_finiteness():
+    """FLUX autoencoder decoder (models/autoencoder.py): z [B,16,h,w] ->
+    [B,3,8h,8w], finite, at random BFL-layout params."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from chipmunk_tpu.models.autoencoder import (decode,
+                                                 init_decoder_params)
+    params = init_decoder_params(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 8, 12),
+                          jnp.float32)
+    img = decode(params, z)
+    assert img.shape == (1, 3, 64, 96)
+    assert bool(jnp.isfinite(img).all())
+
+
+def test_ae_decoder_upsample_doubles():
+    import jax
+    import jax.numpy as jnp
+    from chipmunk_tpu.models.autoencoder import _upsample
+    import numpy as np
+    p = {'conv': {'weight': jnp.eye(4).reshape(4, 4, 1, 1) *
+                  jnp.ones((1, 1, 3, 3)) / 9.0,
+                  'bias': jnp.zeros((4,))}}
+    x = jnp.ones((1, 4, 5, 7))
+    y = _upsample(p, x)
+    assert y.shape == (1, 4, 10, 14)
