@@ -49,7 +49,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_one(name, steps=50, trials=2):
+def bench_one(name, steps=50, trials=1):
     (lt, lh, lw), (dd, ds), quant = SCALES[name]
     on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
     cfg = HunyuanModelConfig(
@@ -123,10 +123,12 @@ def main():
     ap.add_argument('--scale',
                     default=os.environ.get('CHIPMUNK_HY_SCALE', 'small'))
     ap.add_argument('--steps', type=int, default=50)
+    ap.add_argument('--trials', type=int, default=1)
     args = ap.parse_args()
     rows = []
     for name in args.scale.split(','):
-        rows.append(bench_one(name.strip(), steps=args.steps))
+        rows.append(bench_one(name.strip(), steps=args.steps,
+                              trials=args.trials))
     print(json.dumps({"metric": "hunyuan_e2e_speedup_curve",
                       "reference_baseline":
                           "HunyuanVideo e2e 3.72x (README.md:87)",
