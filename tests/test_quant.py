@@ -158,3 +158,53 @@ def test_flux_forward_quantized_close_to_bf16():
     ref = float(jnp.abs(p1).mean())
     err = float(jnp.abs(p1 - p2).mean())
     assert err < 0.1 * ref, (err, ref)
+
+
+@pytest.mark.parametrize('kind', ['fp8', 'int8', 'int4'])
+def test_quantize_host_matches_device(kind):
+    """quantize_host (numpy) produces the same quantized values/scales as
+    the device-side quantize()."""
+    from chipmunk_tpu.utils.quant import quantize_host
+    w = np.asarray(jax.random.normal(KEY, (6, 64, 32)) * 0.3)
+    pack = 1 if kind == 'int4' else None
+    qd = quantize(jnp.asarray(w), kind, keep_axes=(0, 2), pack_axis=pack)
+    qh = quantize_host(w, kind, keep_axes=(0, 2), pack_axis=pack)
+    assert qh.pack_axis == qd.pack_axis
+    np.testing.assert_allclose(np.asarray(qh.scale), np.asarray(qd.scale),
+                               rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(dequant(qh, jnp.float32)),
+        np.asarray(dequant(qd, jnp.float32)), rtol=1e-5, atol=1e-6)
+
+
+def test_synth_quantized_params_forward_finite():
+    """A synthesized quantized tree runs through flux_forward finitely."""
+    from chipmunk_tpu.utils.quant import synth_quantized_flux_params
+    from chipmunk_tpu.config import config_from_dict
+    from chipmunk_tpu.models import FluxModelConfig, FluxSparse
+    from chipmunk_tpu.models.flux import flux_forward, FluxStep
+    from chipmunk_tpu.models.sampling import FluxSampler
+    cfg = FluxModelConfig(in_channels=16, vec_in_dim=32, context_in_dim=32,
+                          hidden_size=128, num_heads=2, depth=2,
+                          depth_single_blocks=2, axes_dim=(16, 24, 24),
+                          guidance_embed=False, txt_len=128,
+                          dtype=jnp.float32)
+    params = synth_quantized_flux_params(0, cfg)
+    ck = config_from_dict({'attn': {'is_enabled': False},
+                           'mlp': {'is_enabled': False}})
+    h_img, w_img = 16, 24
+    sp = FluxSparse.build(ck, cfg, cfg.txt_len + h_img * w_img,
+                          use_kernels=False)
+    sampler = FluxSampler(cfg=cfg, ck=ck, sp=sp, h_img=h_img, w_img=w_img)
+    pe = sampler.rope(1)
+    ks = jax.random.split(KEY, 3)
+    img = jax.random.normal(ks[0], (1, h_img * w_img, 16), jnp.float32)
+    txt = jax.random.normal(ks[1], (1, 128, 32), jnp.float32)
+    y = jax.random.normal(ks[2], (1, 32), jnp.float32)
+    st = sp.init_state(cfg, 1)
+    step = FluxStep(index=0, full_attn=True, full_mlp=True, colsum=False,
+                    recompute_mlp_mask=False)
+    pred, _ = flux_forward(params, cfg, sp, img, txt,
+                           jnp.full((1,), 0.5, jnp.float32), y, pe, st,
+                           step)
+    assert bool(jnp.isfinite(pred).all())
