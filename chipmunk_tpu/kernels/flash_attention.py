@@ -45,9 +45,10 @@ MAX_WHOLE_Q = 8192
 
 def _pick_bq(sq: int) -> int:
     """Whole-Q when it fits VMEM (huge MXU tiles + one VPU softmax chain
-    per KV block, ~150-180 TF/s vs ~90 at bq=256); else a large tile."""
+    per KV block, ~150-180 TF/s vs ~90 at bq=256); else a large tile.
+    128-multiple so the lane-packed lse blocks tile exactly."""
     if sq <= MAX_WHOLE_Q:
-        return sq + (-sq) % 8
+        return sq + (-sq) % 128
     return 1024
 
 
@@ -90,12 +91,15 @@ def _flash_kernel(q_ref, k_ref, v_ref,            # inputs
         l = l_ref[:]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
-        lse_ref[0] = m_ref[:] + jnp.log2(l_safe)
+        # lse rides a [BH, Sq/128, 128] array: a trailing size-1 dim would
+        # be lane-padded 128x by TPU tiling (1.4GB at video scale), and 2D
+        # [BH, Sq] blocks violate the (8,128)-divisibility rule
+        lse_ref[0] = (m_ref[:] + jnp.log2(l_safe)).reshape(lse_ref.shape[1:])
 
 
 def _colsum_kernel(q_ref, k_ref, v_ref, prev_lse_ref,
                    o_ref, lse_ref, cs_ref,
-                   acc_ref, m_ref, l_ref, csacc_ref,
+                   acc_ref, m_ref, l_ref, csacc_ref, plse_ref,
                    *, tau: float, sk_valid: int, bq: int, bk: int,
                    score_block: int, qg: int):
     """Each program covers bq = n_sub*qg query rows (n_sub query GROUPS),
@@ -113,6 +117,19 @@ def _colsum_kernel(q_ref, k_ref, v_ref, prev_lse_ref,
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
         csacc_ref[:] = jnp.zeros_like(csacc_ref)
+        # expand the lane-packed prev_lse [bq/128, 128] into the [bq, 1]
+        # column the row subtraction needs (Mosaic has no rows->column
+        # shape cast; a one-hot MXU expand + diagonal mask does it once
+        # per q block)
+        lr = prev_lse_ref[0]
+        nrow = bq // 128
+        e1 = (jax.lax.broadcasted_iota(jnp.int32, (bq, nrow), 0) // 128
+              == jax.lax.broadcasted_iota(jnp.int32, (bq, nrow), 1)
+              ).astype(jnp.float32)
+        x = jnp.dot(e1, lr, preferred_element_type=jnp.float32)  # [bq,128]
+        d = (jax.lax.broadcasted_iota(jnp.int32, (bq, 128), 1)
+             == jax.lax.broadcasted_iota(jnp.int32, (bq, 128), 0) % 128)
+        plse_ref[:] = jnp.sum(jnp.where(d, x, 0.0), axis=-1, keepdims=True)
 
     s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -127,7 +144,7 @@ def _colsum_kernel(q_ref, k_ref, v_ref, prev_lse_ref,
     # gather kernels, and it keeps the output O(S/score_block) instead of
     # O(S) per group — at video scale the reference's token-granular colsum
     # tensor would be several GB (dense_colsum_attn.cu:580-583).
-    p_prev = jnp.exp2(s * tau - prev_lse_ref[0])          # [BQ, BK]
+    p_prev = jnp.exp2(s * tau - plse_ref[:])              # [BQ, BK]
     # per-query-group token sums: [n_sub, qg, BK] -> [n_sub, BK]
     group_sums = p_prev.reshape(n_sub, qg, -1).sum(axis=1)
     # scatter the nb block sums to lanes [j*nb, (j+1)*nb) of the group rows
@@ -157,7 +174,7 @@ def _colsum_kernel(q_ref, k_ref, v_ref, prev_lse_ref,
         l = l_ref[:]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
-        lse_ref[0] = m_ref[:] + jnp.log2(l_safe)
+        lse_ref[0] = (m_ref[:] + jnp.log2(l_safe)).reshape(lse_ref.shape[1:])
         cs_ref[:] = csacc_ref[:]
 
 
@@ -198,11 +215,11 @@ def dense_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         ],
         out_specs=[
             pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq // 128, 128), lambda b, i, j: (b, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B * H, Sqp, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, Sqp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, Sqp // 128, 128), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, D), jnp.float32),
@@ -213,7 +230,7 @@ def dense_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         interpret=interpret,
     )(qp, kp, vp)
     return (o[:, :Sq].reshape(B, H, Sq, D),
-            lse[:, :Sq, 0].reshape(B, H, Sq))
+            lse.reshape(B * H, Sqp)[:, :Sq].reshape(B, H, Sq))
 
 
 @functools.partial(jax.jit, static_argnames=('qg', 'bq', 'bk',
@@ -246,9 +263,10 @@ def dense_colsum_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         bq = sq8 if sq8 <= MAX_WHOLE_Q else 8 * qg
     assert bq % (8 * qg) == 0, (bq, qg)
     qp = _pad_to(q.reshape(B * H, Sq, D), bq, 1)
-    lp = _pad_to(prev_lse.reshape(B * H, Sq, 1), bq, 1)
+    lp = _pad_to(prev_lse.reshape(B * H, Sq), bq, 1)
     if qp.shape[1] != Sq:
         lp = lp.at[:, Sq:].set(PAD_LSE)
+    lp = lp.reshape(B * H, -1, 128)
     kp = _pad_to(k.reshape(B * H, Sk, D), bk, 1)
     vp = _pad_to(v.reshape(B * H, Sk, D), bk, 1)
     Sqp, Skp = qp.shape[1], kp.shape[1]
@@ -265,17 +283,17 @@ def dense_colsum_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq // 128, 128), lambda b, i, j: (b, i, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq // 128, 128), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((n_sub, NBp),
                          lambda b, i, j, R=Sqp // bq: (b * R + i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B * H, Sqp, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, Sqp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, Sqp // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((B * H * Gp, NBp), jnp.float32),
         ],
         scratch_shapes=[
@@ -283,6 +301,7 @@ def dense_colsum_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((n_sub, NBp), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
@@ -292,4 +311,4 @@ def dense_colsum_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     cs = cs.reshape(B * H, Gp, NBp)[:, :G, :nb_valid]
     return (o[:, :Sq].reshape(B, H, Sq, D),
             cs.reshape(B, H, G, nb_valid),
-            lse[:, :Sq, 0].reshape(B, H, Sq))
+            lse.reshape(B * H, Sqp)[:, :Sq].reshape(B, H, Sq))
