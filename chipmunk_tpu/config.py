@@ -38,6 +38,10 @@ def _freeze(x):
 @dataclass(frozen=True)
 class MlpConfig:
     is_enabled: bool = True
+    # fp8 MLPs (reference quantize_fp8, src/chipmunk/modules/mlp_fp8.py):
+    # load edges store MLP weights as fp8 QTensors
+    # (modules/mlp_fp8.quant_spec_for_is_fp8) and SparseDiffMlp runs fc1
+    # as an fp8 x fp8 dot with a dynamic input scale (f8_input_matmul)
     is_fp8: bool = False
     top_keys: float = 0.3
     random_keys: float = 0.05

@@ -41,12 +41,27 @@ def _embedder(sd, name, dtype):
 
 
 def load_flux_params(state_dict: Dict[str, Any],
-                     cfg: FluxModelConfig) -> Dict:
+                     cfg: FluxModelConfig, ck=None) -> Dict:
     """Convert a BFL FLUX state dict (tensor name -> array) to our param
-    pytree.  Accepts numpy / torch tensors / jnp arrays as values."""
+    pytree.  Accepts numpy / torch tensors / jnp arrays as values.
+
+    ``ck`` (optional ChipmunkConfig): when ``ck.mlp.is_fp8`` is set the
+    MLP weights are stored as fp8 QTensors — the load-time analogue of
+    the reference's ``quantize_fp8(model)`` swap (flux util.py:349-350,
+    src/chipmunk/modules/mlp_fp8.py:352-400).  Quantization happens
+    host-side (see utils/quant.quantize_host for why) and the sparse
+    kernels / ``SparseDiffMlp`` consume the QTensors directly."""
     dt = cfg.dtype
     h, mh = cfg.hidden_size, cfg.mlp_hidden
     sd = state_dict
+    is_fp8 = bool(ck is not None and ck.mlp.is_fp8)
+
+    def mlpw(arr):
+        """Output-major [N, C] MLP weight -> fp8 QTensor under is_fp8."""
+        if not is_fp8:
+            return jnp.asarray(np.asarray(arr)).astype(dt)
+        from ..utils.quant import quantize_host
+        return quantize_host(np.asarray(arr), 'fp8', keep_axes=(0,))
 
     def dbl(i):
         p = f'double_blocks.{i}'
@@ -66,13 +81,13 @@ def load_flux_params(state_dict: Dict[str, Any],
             'img_proj': _lin(sd, f'{p}.img_attn.proj', dt),
             'txt_proj': _lin(sd, f'{p}.txt_attn.proj', dt),
             # MLP: torch [out, in]; w1t wants [N, C] = fc1 as stored
-            'img_w1t': _a(sd[f'{p}.img_mlp.0.weight']).astype(dt),
+            'img_w1t': mlpw(sd[f'{p}.img_mlp.0.weight']),
             'img_b1': _a(sd[f'{p}.img_mlp.0.bias']).astype(dt),
-            'img_w2': _t(sd[f'{p}.img_mlp.2.weight']).astype(dt),
+            'img_w2': mlpw(np.asarray(sd[f'{p}.img_mlp.2.weight']).T),
             'img_b2': _a(sd[f'{p}.img_mlp.2.bias']).astype(dt),
-            'txt_w1t': _a(sd[f'{p}.txt_mlp.0.weight']).astype(dt),
+            'txt_w1t': mlpw(sd[f'{p}.txt_mlp.0.weight']),
             'txt_b1': _a(sd[f'{p}.txt_mlp.0.bias']).astype(dt),
-            'txt_w2': _t(sd[f'{p}.txt_mlp.2.weight']).astype(dt),
+            'txt_w2': mlpw(np.asarray(sd[f'{p}.txt_mlp.2.weight']).T),
             'txt_b2': _a(sd[f'{p}.txt_mlp.2.bias']).astype(dt),
         }
 
@@ -87,11 +102,11 @@ def load_flux_params(state_dict: Dict[str, Any],
             # the sparsify split (reference layers.py:239-291)
             'qkv': {'w': jnp.asarray(w1[:3 * h].T).astype(dt),
                     'b': jnp.asarray(b1[:3 * h]).astype(dt)},
-            'w1t': jnp.asarray(w1[3 * h:]).astype(dt),
+            'w1t': mlpw(w1[3 * h:]),
             'b1': jnp.asarray(b1[3 * h:]).astype(dt),
             'o_proj': {'w': jnp.asarray(w2[:, :h].T).astype(dt),
                        'b': jnp.asarray(b2).astype(dt)},
-            'w2': jnp.asarray(w2[:, h:].T).astype(dt),
+            'w2': mlpw(w2[:, h:].T),
             'qnorm': _a(sd[f'{p}.norm.query_norm.scale']).astype(dt),
             'knorm': _a(sd[f'{p}.norm.key_norm.scale']).astype(dt),
         }
@@ -116,15 +131,16 @@ def load_flux_params(state_dict: Dict[str, Any],
     return params
 
 
-def load_flux_safetensors(path: str, cfg: FluxModelConfig) -> Dict:
+def load_flux_safetensors(path: str, cfg: FluxModelConfig, ck=None) -> Dict:
     """Load FLUX weights from a .safetensors file (reference util.py:
-    340-346 load_sft)."""
+    340-346 load_sft).  ``ck.mlp.is_fp8`` engages fp8 MLP weight storage
+    (see load_flux_params)."""
     from safetensors import safe_open
     sd = {}
     with safe_open(path, framework="np") as f:
         for k in f.keys():
             sd[k] = f.get_tensor(k)
-    return load_flux_params(sd, cfg)
+    return load_flux_params(sd, cfg, ck=ck)
 
 
 def load_ae_decoder_safetensors(path: str, dtype=None):

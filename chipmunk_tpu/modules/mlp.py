@@ -33,6 +33,20 @@ def _gelu_tanh(x):
     return jax.nn.gelu(x, approximate=True)
 
 
+def _fc1(cfg: MlpConfig, x, w1t, b1):
+    """fc1 = x @ w1tᵀ + b1, honoring ``mlp.is_fp8``: with an fp8 QTensor
+    weight the input is dynamically fp8-quantized and the dot runs fp8 x
+    fp8 (reference F8Linear forward; see modules/mlp_fp8.py docstring).
+    fc2 always stays bf16, like the reference's sparse-MM2 exception
+    (mlp_fp8.py:323-326)."""
+    from ..utils.quant import QTensor
+    if (cfg.is_fp8 and isinstance(w1t, QTensor)
+            and w1t.q.dtype == jnp.float8_e4m3fn):
+        from .mlp_fp8 import f8_input_matmul
+        return f8_input_matmul(x, w1t, b1, out_dtype=x.dtype)
+    return x @ dequant(w1t, x.dtype).T + b1.astype(x.dtype)
+
+
 class MlpState(NamedTuple):
     """Per-layer MLP cache pytree (replaces MlpStorage,
     reference util/storage/layer_storage.py:5-93)."""
@@ -83,7 +97,7 @@ class SparseDiffMlp:
     # ---------------------------------------------------------------- steps
     def dense(self, x, w1t, b1, w2, b2):
         """x: [T, C]; w1t: [N, C]; w2: [N, C] (arrays or QTensors)."""
-        mid = x @ dequant(w1t, x.dtype).T + b1.astype(x.dtype)
+        mid = _fc1(self.cfg, x, w1t, b1)
         return (_gelu_tanh(mid.astype(jnp.float32)).astype(x.dtype)
                 @ dequant(w2, x.dtype) + b2.astype(x.dtype))
 
@@ -96,7 +110,7 @@ class SparseDiffMlp:
     def full_step(self, x, w1t, b1, w2, b2, state: MlpState
                   ) -> Tuple[jnp.ndarray, MlpState]:
         x, t = self._pad(x)
-        mid = x @ dequant(w1t, x.dtype).T + b1.astype(x.dtype)
+        mid = _fc1(self.cfg, x, w1t, b1)
         pa = _gelu_tanh(mid.astype(jnp.float32)).astype(x.dtype)
         out = pa @ dequant(w2, x.dtype) + b2.astype(x.dtype)
         return out[:t], state._replace(
@@ -110,7 +124,7 @@ class SparseDiffMlp:
         """Reference modules/mlp.py:69-88."""
         mbm, bm = self.cfg.mbm, self.cfg.bm
         bmx = block_mean(x[None], mbm)[0]                  # [Mb, C]
-        bmfc1 = bmx @ dequant(w1t, x.dtype).T + b1.astype(x.dtype)  # [Mb, N]
+        bmfc1 = _fc1(self.cfg, bmx, w1t, b1)               # [Mb, N]
         mdiff = jnp.abs((bmfc1 - state.bm_mid).astype(jnp.float32))
         r = bm // mbm
         Mb = mdiff.shape[0]
@@ -125,9 +139,18 @@ class SparseDiffMlp:
         inds, counts = indexing.mask_to_indices(mask, mult_b)
         inds = inds[..., :self.jmax]
         counts = jnp.clip(counts, 1, self.jmax)
-        # refresh bm_mid only at selected neurons (reference copy_indices,
-        # mlp.py:82-85) — token mask expanded from the block mask
-        sel_tok = jnp.repeat(jnp.repeat(mask, self.cfg.neuron_block, -1),
+        # refresh bm_mid ONLY at neurons that survive the jmax truncation
+        # (reference copy_indices, mlp.py:82-85).  Refreshing a block the
+        # kernel won't recompute would collapse its mdiff score while its
+        # act_cache stays stale, suppressing it from future re-selection
+        # (silent drift — advisor r2 finding #1): rebuild the mask from
+        # the truncated index lists instead of using the raw `mask`.
+        M = inds.shape[0]
+        valid = jnp.arange(self.jmax)[None, :] < counts[:, None]
+        surv = jnp.zeros_like(mask).at[
+            jnp.arange(M)[:, None], inds].max(valid)
+        surv = surv & mask   # round-up padding ids are unmasked -> drop
+        sel_tok = jnp.repeat(jnp.repeat(surv, self.cfg.neuron_block, -1),
                              r, axis=0)                    # [Mb, N]
         bm_mid = indexing.copy_indices(bmfc1, state.bm_mid, sel_tok)
         return state._replace(inds=inds, counts=counts, bm_mid=bm_mid)

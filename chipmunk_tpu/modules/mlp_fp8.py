@@ -12,6 +12,21 @@ weight-memory/bandwidth optimization on current TPUs.  Calibration state is
 an explicit pytree (the reference mutates module attributes).  As in the
 reference, fc2 of *sparse* MLPs stays bf16 (mlp_fp8.py:323-326 — fp8
 unsupported for the sparse MM2) — the sparse kernel path only quantizes mm1.
+
+Wiring (``mlp.is_fp8: true`` in a chipmunk-config.yml):
+  * weight storage: the load edge applies ``quant_spec_for_is_fp8()`` —
+    fp8 QTensors for the MLP weights, exactly the linears the reference's
+    ``quantize_fp8`` swaps to F8Linear (mlp_fp8.py:352-400) —
+    see ``models.loaders.load_flux_params(..., ck=...)``.
+  * compute: ``SparseDiffMlp`` runs fc1 through :func:`f8_input_matmul`
+    (fp8 x fp8 dot, dynamic per-call input scale) on dense/full steps.
+    The reference freezes the input scale after a 12-call calibration
+    window because per-call amax costs an extra pass on GPU; under jit
+    the amax reduction fuses and a frozen scale would need mutable state
+    threaded through every step, so the TPU build uses the exact per-call
+    scale (strictly tighter than a frozen calibrated one).  The stateful
+    :func:`f8_linear` variant reproduces the reference's calibration
+    semantics for hosts that want frozen scales.
 """
 from __future__ import annotations
 
@@ -55,13 +70,17 @@ def update_calibration(st: F8InputState, x: jnp.ndarray) -> F8InputState:
     return F8InputState(amax=new_amax, count=st.count + 1)
 
 
-def quantize_input(x: jnp.ndarray, st: F8InputState
+def quantize_input(x: jnp.ndarray, st: Optional[F8InputState]
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Quantize activations with the calibrated scale (falling back to the
-    current batch amax while calibrating)."""
+    current batch amax while calibrating).  ``st=None`` = pure dynamic
+    per-call scale (the model-path default, see module docstring)."""
     cur = jnp.max(jnp.abs(x.astype(jnp.float32)))
-    amax = jnp.where(st.count < CALIBRATION_STEPS, jnp.maximum(st.amax, cur),
-                     st.amax)
+    if st is None:
+        amax = cur
+    else:
+        amax = jnp.where(st.count < CALIBRATION_STEPS,
+                         jnp.maximum(st.amax, cur), st.amax)
     scale = jnp.maximum(amax / E4M3_MAX, 1e-12)
     x8 = (x.astype(jnp.float32) / scale).astype(jnp.float8_e4m3fn)
     return x8, scale
@@ -87,6 +106,37 @@ def f8_linear(x: jnp.ndarray, w: F8Weight, st: F8InputState,
               ) -> Tuple[jnp.ndarray, F8InputState]:
     x8, sx = quantize_input(x, st)
     return f8_matmul(x8, sx, w, bias, out_dtype), update_calibration(st, x)
+
+
+def quant_spec_for_is_fp8():
+    """The QuantSpec that ``mlp.is_fp8: true`` maps to: fp8 storage for
+    the MLP weights (both the kernel-gathered sparse path and the dense
+    txt MLPs), attention/modulation untouched — the same linear set the
+    reference's quantize_fp8 converts (mlp_fp8.py:294-400)."""
+    from ..utils.quant import QuantSpec
+    return QuantSpec(attn=None, mod=None, mlp_sparse='fp8',
+                     mlp_dense='fp8')
+
+
+def f8_input_matmul(x: jnp.ndarray, wq, bias: Optional[jnp.ndarray] = None,
+                    out_dtype=None) -> jnp.ndarray:
+    """fc1 forward in fp8 x fp8 for ``mlp.is_fp8``: dynamically quantize
+    the input (per-call amax scale — see module docstring for why there
+    is no frozen calibration window here) and contract against an fp8
+    QTensor weight stored output-major [N, C] with per-channel scales.
+
+    This is the model-path consumer of the input-quantization machinery
+    (reference F8Linear.forward, mlp_fp8.py:247-270)."""
+    from ..utils.quant import QTensor
+    assert isinstance(wq, QTensor) and wq.pack_axis is None
+    out_dtype = out_dtype or x.dtype
+    x8, sx = quantize_input(x, None)
+    y = jax.lax.dot_general(x8, wq.q, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = y * (sx * wq.scale.reshape(1, -1))
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
 
 
 def quantize_flux_mlps(params: Dict, quantize_sparse_fc2: bool = False

@@ -69,10 +69,16 @@ def main():
 
     if args.ckpt:
         from chipmunk_tpu.models.loaders import load_flux_safetensors
-        params = load_flux_safetensors(args.ckpt, model)
+        params = load_flux_safetensors(args.ckpt, model, ck=ck)
     else:
         print("no --ckpt given: using random weights (pipeline demo mode)")
         params = init_flux_params(jax.random.PRNGKey(1), model)
+        if ck.mlp.is_fp8:
+            # same contract as the checkpoint path: is_fp8 -> fp8 MLP
+            # weight storage (reference quantize_fp8, flux util.py:349-350)
+            from chipmunk_tpu.utils.quant import quantize_flux_params
+            from chipmunk_tpu.modules.mlp_fp8 import quant_spec_for_is_fp8
+            params = quantize_flux_params(params, quant_spec_for_is_fp8())
 
     key = jax.random.PRNGKey(args.seed)
     ks = jax.random.split(key, 3)
