@@ -55,6 +55,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                          ctypes.c_uint64]
         lib.chipmunk_bitunpack.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                            ctypes.c_uint64]
+        for fn in ('chipmunk_quantize_fp8_rows', 'chipmunk_quantize_int8_rows',
+                   'chipmunk_quantize_int4_rows'):
+            getattr(lib, fn).argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                         ctypes.c_void_p, ctypes.c_uint64,
+                                         ctypes.c_uint64]
         _LIB = lib
         return _LIB
 
@@ -89,6 +94,39 @@ class HostBuffer:
             np.copyto(dst, src)
         else:
             lib.chipmunk_memcpy(dst.ctypes.data, src.ctypes.data, src.nbytes)
+
+
+def quantize_rows_native(w: np.ndarray, kind: str):
+    """Multithreaded row-wise weight quantization (csrc quantizers): w is
+    [rows, cols] float32; returns (q, scale[rows]) matching the numpy path
+    of utils/quant.quantize_host bit-exactly, or None if the native lib is
+    unavailable.  This is the hot loop of real-checkpoint loads (~12GB of
+    FLUX weights; single-threaded numpy dominates load time otherwise)."""
+    lib = get_lib()
+    if lib is None or w.ndim != 2:
+        return None
+    w = np.ascontiguousarray(w, np.float32)
+    rows, cols = w.shape
+    scale = np.empty((rows,), np.float32)
+    if kind == 'fp8':
+        import ml_dtypes
+        q = np.empty((rows, cols), np.uint8)
+        lib.chipmunk_quantize_fp8_rows(w.ctypes.data, q.ctypes.data,
+                                       scale.ctypes.data, rows, cols)
+        q = q.view(ml_dtypes.float8_e4m3fn)
+    elif kind == 'int8':
+        q = np.empty((rows, cols), np.int8)
+        lib.chipmunk_quantize_int8_rows(w.ctypes.data, q.ctypes.data,
+                                        scale.ctypes.data, rows, cols)
+    elif kind == 'int4':
+        if cols % 2:
+            return None
+        q = np.empty((rows, cols // 2), np.uint8)
+        lib.chipmunk_quantize_int4_rows(w.ctypes.data, q.ctypes.data,
+                                        scale.ctypes.data, rows, cols)
+    else:
+        return None
+    return q, scale
 
 
 def bitpack_host(mask: np.ndarray) -> np.ndarray:

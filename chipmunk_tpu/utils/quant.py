@@ -200,6 +200,18 @@ def quantize_host(w, kind: str, keep_axes, pack_axis=None) -> QTensor:
         keep_axes = (keep_axes,)
     keep_axes = tuple(a % w.ndim for a in keep_axes)
     wf = np.asarray(w, np.float32)
+    # hot path: [rows, cols] with per-row scales -> the native
+    # multithreaded quantizers (csrc/chipmunk_host.cpp; bit-exact with
+    # the numpy path below, parity-tested in tests/test_native.py)
+    if (wf.ndim == 2 and keep_axes == (0,)
+            and (kind != 'int4' or pack_axis in (1, -1))):
+        from .native import quantize_rows_native
+        res = quantize_rows_native(wf, kind)
+        if res is not None:
+            q, scale = res
+            return QTensor(q=jax.device_put(q),
+                           scale=jax.device_put(scale[:, None]),
+                           pack_axis=(-1 if kind == 'int4' else None))
     red = tuple(i for i in range(w.ndim) if i not in keep_axes)
     amax = np.maximum(np.abs(wf).max(axis=red, keepdims=True), 1e-8)
     if kind == 'fp8':
@@ -295,7 +307,7 @@ def synth_quantized_params(seed: int, shapes,
         is_lin_w = name.strip("'") == 'w' and len(shape) >= 2
         base = name.strip("'")
         is_raw = base.endswith(('w1t', 'w2')) and len(shape) >= 2
-        if in_blocks and is_lin_w and spec.attn:
+        if in_blocks and is_lin_w and (spec.attn or spec.mod):
             # [L, in, out]: pack along in; scale per (L, out)
             mod_like = 'mod' in ''.join(names)
             kind = spec.mod if mod_like else spec.attn

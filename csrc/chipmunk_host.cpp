@@ -15,6 +15,7 @@
 // (chipmunk_tpu/utils/native.py) — no pybind11 dependency.
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -152,6 +153,117 @@ void chipmunk_bitunpack(const uint8_t* src, uint8_t* dst, uint64_t n) {
   });
   for (uint64_t j = n_full * 8; j < n; ++j)
     dst[j] = (src[n_full] >> (j - n_full * 8)) & 1;
+}
+
+}  // extern "C"
+
+// --------------------------------------------------- weight quantization
+//
+// Row-wise quantizers for load-time weight residency.  Consumer:
+// chipmunk_tpu/utils/quant.quantize_host (real-checkpoint loads and the
+// mlp.is_fp8 load path) — quantizing ~12GB of FLUX weights in
+// single-threaded numpy dominates load time; these run at memory
+// bandwidth across cores and match the numpy path bit-exactly (same
+// absmax scale, same IEEE division, round-to-nearest-even).
+// w: [rows, cols] float32 row-major.  scale out: [rows] float32.
+
+namespace {
+
+// float32 -> float8_e4m3fn with round-to-nearest-even, saturating to
+// +-448 (0x7E); NaN -> 0x7F.  Matches ml_dtypes' cast for the in-range
+// values quantize_host produces (|x| <= 448 by construction).
+inline uint8_t f32_to_e4m3(float x) {
+  uint32_t bits;
+  std::memcpy(&bits, &x, 4);
+  uint8_t sign = static_cast<uint8_t>((bits >> 24) & 0x80);
+  uint32_t abs = bits & 0x7FFFFFFFu;
+  if (abs >= 0x43E80000u) {              // >= 464 = RNE saturation bound
+    if (abs > 0x7F800000u) return sign | 0x7F;  // NaN
+    return sign | 0x7E;                  // saturate to +-448
+  }
+  if (abs < 0x3C800000u) {               // < 2^-6: e4m3 subnormal range
+    float ax;
+    std::memcpy(&ax, &abs, 4);
+    long m = std::lrint(ax * 512.0f);    // RNE; step = 2^-9
+    if (m >= 8) return sign | 0x08;      // rounded up to min normal
+    return sign | static_cast<uint8_t>(m);
+  }
+  // normal range: round the f32 mantissa to 3 bits (RNE) in integer
+  // space — the carry propagates into the exponent automatically
+  uint32_t lsb = (abs >> 20) & 1;
+  uint32_t a = abs + 0x0007FFFFu + lsb;
+  int E = static_cast<int>(a >> 23) - 127 + 7;
+  uint8_t mant = static_cast<uint8_t>((a >> 20) & 7);
+  if (E >= 16 || (E == 15 && mant == 7)) return sign | 0x7E;
+  return sign | static_cast<uint8_t>(E << 3) | mant;
+}
+
+inline float row_absmax(const float* row, size_t cols) {
+  float amax = 0.0f;
+  for (size_t c = 0; c < cols; ++c) {
+    float a = std::fabs(row[c]);
+    if (a > amax) amax = a;
+  }
+  return amax < 1e-8f ? 1e-8f : amax;
+}
+
+}  // namespace
+
+extern "C" {
+
+void chipmunk_quantize_fp8_rows(const float* w, uint8_t* q, float* scale,
+                                uint64_t rows, uint64_t cols) {
+  parallel_for(rows, 1, [&](size_t lo, size_t hi) {
+    for (size_t r = lo; r < hi; ++r) {
+      const float* row = w + r * cols;
+      float s = row_absmax(row, cols) / 448.0f;
+      scale[r] = s;
+      uint8_t* out = q + r * cols;
+      for (size_t c = 0; c < cols; ++c) out[c] = f32_to_e4m3(row[c] / s);
+    }
+  });
+}
+
+void chipmunk_quantize_int8_rows(const float* w, int8_t* q, float* scale,
+                                 uint64_t rows, uint64_t cols) {
+  parallel_for(rows, 1, [&](size_t lo, size_t hi) {
+    for (size_t r = lo; r < hi; ++r) {
+      const float* row = w + r * cols;
+      float s = row_absmax(row, cols) / 127.0f;
+      scale[r] = s;
+      int8_t* out = q + r * cols;
+      for (size_t c = 0; c < cols; ++c) {
+        float v = std::nearbyint(row[c] / s);  // RNE like np.round
+        if (v > 127.0f) v = 127.0f;
+        if (v < -127.0f) v = -127.0f;
+        out[c] = static_cast<int8_t>(v);
+      }
+    }
+  });
+}
+
+// int4 plane-packed along cols (chipmunk_tpu.utils.quant format): output
+// byte [r, c] holds the low nibble of col c and the high nibble of col
+// c + cols/2, both stored offset-binary (+8).  cols must be even.
+void chipmunk_quantize_int4_rows(const float* w, uint8_t* q_packed,
+                                 float* scale, uint64_t rows,
+                                 uint64_t cols) {
+  uint64_t half = cols / 2;
+  parallel_for(rows, 1, [&](size_t lo, size_t hi) {
+    for (size_t r = lo; r < hi; ++r) {
+      const float* row = w + r * cols;
+      float s = row_absmax(row, cols) / 7.0f;
+      scale[r] = s;
+      uint8_t* out = q_packed + r * half;
+      for (size_t c = 0; c < half; ++c) {
+        float v0 = std::nearbyint(row[c] / s);
+        float v1 = std::nearbyint(row[c + half] / s);
+        int a = v0 > 7.0f ? 7 : (v0 < -8.0f ? -8 : static_cast<int>(v0));
+        int b = v1 > 7.0f ? 7 : (v1 < -8.0f ? -8 : static_cast<int>(v1));
+        out[c] = static_cast<uint8_t>((a + 8) | ((b + 8) << 4));
+      }
+    }
+  });
 }
 
 }  // extern "C"
