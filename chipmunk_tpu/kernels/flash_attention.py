@@ -307,7 +307,8 @@ def dense_colsum_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         interpret=interpret,
     )(qp, kp, vp, lp)
     nb_valid = -(-Sk // score_block)
-    G = Sq // qg  # caller guarantees qg | Sq (module layout contract)
+    assert Sq % qg == 0, (Sq, qg)  # module layout contract: whole q groups
+    G = Sq // qg
     cs = cs.reshape(B * H, Gp, NBp)[:, :G, :nb_valid]
     return (o[:, :Sq].reshape(B, H, Sq, D),
             cs.reshape(B, H, G, nb_valid),

@@ -177,7 +177,10 @@ class SparseDiffAttn:
             return None
         return jnp.arange(Sk) < self.valid_len
 
-    def _dense(self, q, k, v):
+    def _dense_raw(self, q, k, v):
+        """Dense attention with the RAW lse: valid for any q slice (the
+        pad fix in _dense indexes lse in full-sequence query space, so it
+        only applies when q is the whole sequence)."""
         if self.use_kernels:
             # the kernel masks keys >= sk_valid internally when the sliced
             # KV length is not a tile multiple
@@ -188,6 +191,12 @@ class SparseDiffAttn:
             o, lse = attn_ref.dense_attn_ref(q, k, v,
                                              kv_mask=self._kv_mask(
                                                  k.shape[-2]))
+        return o, lse
+
+    def _dense(self, q, k, v):
+        """Full-sequence dense attention (q must be the whole sequence:
+        the pad-lse fix writes at full-sequence query indices)."""
+        o, lse = self._dense_raw(q, k, v)
         return o, self._fix_pad_lse(lse)
 
     def _colsum(self, q, k, v, prev_lse):
@@ -310,7 +319,7 @@ class SparseDiffAttn:
             # clamped coverage, no delta cache (reference attn.py:67 flags
             # these rows; its kernel then loops the whole sequence)
             t0 = self.dense_tail_g * self.cfg.mbm
-            o_tail, _ = self._dense(q[..., t0:, :], k, v)
+            o_tail, _ = self._dense_raw(q[..., t0:, :], k, v)
             o = o.at[..., t0:, :].set(o_tail.astype(o.dtype))
         return o, state
 

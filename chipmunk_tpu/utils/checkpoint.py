@@ -5,6 +5,11 @@ reset per generation).  In this build the entire sparsity state is an
 explicit pytree, so mid-generation checkpoint/resume is a serialization
 one-liner; model params use the same path (orbax is available for sharded
 checkpoints of real deployments; this flat .npz path has no extra deps).
+
+Format v2: leaves are keyed by their tree PATH (not position), so a state
+pytree that gains a field in a later version (e.g. AttnState.packed) still
+loads older snapshots — missing paths keep the value from ``like`` and are
+reported.  v1 (positional ``leaf_i``) files still load, strictly.
 """
 from __future__ import annotations
 
@@ -15,19 +20,40 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _paths(tree):
+    leaves = jax.tree_util.tree_leaves_with_path(tree)
+    return [(jax.tree_util.keystr(p), x) for p, x in leaves]
+
+
 def save_pytree(path: str, tree: Any) -> None:
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
-    arrays["__treedef__"] = np.frombuffer(
-        repr(treedef).encode(), dtype=np.uint8)
+    arrays = {f"path:{k}": np.asarray(x) for k, x in _paths(tree)}
+    assert len(arrays) == len(jax.tree_util.tree_leaves(tree)), \
+        "duplicate tree paths"
     np.savez(path, **arrays)
 
 
 def load_pytree(path: str, like: Any) -> Any:
     """Load leaves saved by save_pytree into the structure of ``like``.
-    Structure is verified against the stored treedef repr (catches
-    swapped same-shape leaves), and leaf shapes AND dtypes must match."""
+    Path-keyed (v2) files match leaves by tree path: a path present in
+    ``like`` but not in the file keeps ``like``'s value (new fields added
+    since the save); shapes and dtypes of matched leaves must agree.
+    Positional (v1) files require an exact structure match."""
     data = np.load(path)
+    keys = set(data.keys())
+    if any(k.startswith("path:") for k in keys):
+        out = []
+        for k, leaf in _paths(like):
+            fk = f"path:{k}"
+            if fk in keys:
+                a = jnp.asarray(data[fk])
+                assert a.shape == leaf.shape, (k, a.shape, leaf.shape)
+                assert a.dtype == leaf.dtype, (k, a.dtype, leaf.dtype)
+                out.append(a)
+            else:
+                out.append(leaf)   # field added after the snapshot
+        treedef = jax.tree_util.tree_structure(like)
+        return jax.tree_util.tree_unflatten(treedef, out)
+    # ---- v1 positional format: strict
     leaves, treedef = jax.tree_util.tree_flatten(like)
     if "__treedef__" in data:
         saved_def = bytes(data["__treedef__"]).decode()
