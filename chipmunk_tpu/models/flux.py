@@ -156,12 +156,14 @@ class FluxSparse:
     n_dense_attn_single: int
     n_dense_mlp_double: int
     n_dense_mlp_single: int
-    # optional (mesh, axis_name) for Ulysses head-parallel attention
+    # optional (mesh, axis_name[, batch_axis]) for Ulysses head-parallel
+    # attention; batch_axis = mesh axis the batch (dp/CFG) is sharded over
     ulysses: Optional[tuple] = None
 
-    def with_ulysses(self, mesh, axis: str) -> "FluxSparse":
+    def with_ulysses(self, mesh, axis: str,
+                     batch_axis: Optional[str] = None) -> "FluxSparse":
         import dataclasses
-        return dataclasses.replace(self, ulysses=(mesh, axis))
+        return dataclasses.replace(self, ulysses=(mesh, axis, batch_axis))
 
     @staticmethod
     def build(ck: ChipmunkConfig, model: FluxModelConfig, seq_len: int,
@@ -249,14 +251,16 @@ def _attn_call(mod: SparseDiffAttn, q, k, v, st: AttnState, step: StepKind,
     if ulysses is None:
         return run(q, k, v, st, key)
     from ..parallel.comm import ulysses_attention
-    mesh, axis = ulysses
+    mesh, axis, batch_axis = (ulysses if len(ulysses) == 3
+                              else (*ulysses, None))
 
     def sharded_fn(q, k, v, st):
         # decorrelate the random mask across head shards
         lkey = jax.random.fold_in(key, jax.lax.axis_index(axis))
         return run(q, k, v, st, lkey)
 
-    return ulysses_attention(mesh, axis, sharded_fn, q, k, v, st)
+    return ulysses_attention(mesh, axis, sharded_fn, q, k, v, st,
+                             batch_axis=batch_axis)
 
 
 def _mlp_call(mod: SparseDiffMlp, x2d, w1t, b1, w2, b2, st: MlpState,

@@ -275,6 +275,15 @@ class HunyuanModel:
         """
         from .streamed import StreamedFluxRunner, StreamedFluxState
         from ..utils.offload import OffloadPolicy
+
+        def fit(n, depth):  # largest divisor of depth that is <= n
+            n = max(1, min(n, depth))
+            while depth % n:
+                n -= 1
+            return n
+
+        n_chunks_double = fit(n_chunks_double, self.cfg.depth_double)
+        n_chunks_single = fit(n_chunks_single, self.cfg.depth_single)
         runner = StreamedFluxRunner(cfg=self.cfg.core(), sp=self.sp,
                                     n_chunks_double=n_chunks_double,
                                     n_chunks_single=n_chunks_single)

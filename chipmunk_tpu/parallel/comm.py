@@ -26,6 +26,32 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 
+def initialize_multihost(coordinator_address: str = None,
+                         num_processes: int = None,
+                         process_id: int = None) -> int:
+    """Multi-host (DCN) bring-up: ``jax.distributed.initialize`` with the
+    standard coordinator flags, after which ``jax.devices()`` spans all
+    hosts and every mesh/collective in this package works across DCN
+    unchanged (the TPU-native analogue of the reference's
+    torchrun/NCCL launchers, examples/hunyuan/scripts/
+    run_sample_video_multigpu.sh:34-46 + sample_video.py:43-49).
+
+    All arguments optional: on TPU pods the runtime autodetects them; a
+    single-process call (no coordinator) is a no-op-equivalent init.
+    Returns the process index.  Idempotent: a second call is ignored.
+    """
+    try:  # idempotence: jax.distributed has no public is-initialized API
+        from jax._src import distributed as _dist
+        if getattr(_dist.global_state, 'client', None) is not None:
+            return jax.process_index()
+    except ImportError:
+        pass
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id)
+    return jax.process_index()
+
+
 def make_mesh(axis_sizes: dict, devices=None) -> Mesh:
     """mesh from {'axis': size}; devices default to all."""
     import numpy as np
@@ -54,24 +80,34 @@ def collect_heads(x: jnp.ndarray, axis: str) -> jnp.ndarray:
 def ulysses_attention(mesh: Mesh, axis: str,
                       attn_fn: Callable[..., Tuple],
                       q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                      state, *attn_args, **attn_kwargs):
+                      state, *attn_args, batch_axis: str = None,
+                      **attn_kwargs):
     """Run ``attn_fn(q, k, v, state, ...) -> (o, state')`` head-parallel.
 
     q/k/v arrive sequence-sharded over ``axis`` ([B, H, S, D] global);
     state is head-sharded.  Inside: a2a to head shards, local (sparse)
     attention over the full sequence, a2a back.  This is the chipmunk-aware
     multi-device path (reference attenion.py:229-292).
-    """
-    qspec = P(None, None, axis, None)
-    n_axis = mesh.shape[axis]
 
-    # state leaves have different ranks; head axis is axis 1 for all.
-    # Placeholder leaves (e.g. the 1-byte packed dummy in uncompressed
-    # mode) can't shard — replicate them.
+    ``batch_axis``: mesh axis the surrounding computation shards the batch
+    over (dp / CFG cond-uncond).  Threading it into the shard_map specs
+    keeps the batch dim sharded across the boundary — without it GSPMD
+    must replicate-then-repartition every q/k/v (the "involuntary full
+    rematerialization" warning in MULTICHIP_r02.json).
+    """
+    qspec = P(batch_axis, None, axis, None)
+    n_axis = mesh.shape[axis]
+    n_batch = mesh.shape[batch_axis] if batch_axis else 1
+
+    # state leaves have different ranks; [B, heads, ...] for all real
+    # leaves.  Placeholder leaves (e.g. the 1-byte packed dummy in
+    # uncompressed mode) can't shard — replicate them.
     def leaf_spec(x):
         if x.ndim < 2 or x.shape[1] % n_axis != 0:
             return P()
-        return P(*([None, axis] + [None] * (x.ndim - 2)))
+        b = batch_axis if (batch_axis and x.shape[0] % n_batch == 0) \
+            else None
+        return P(*([b, axis] + [None] * (x.ndim - 2)))
 
     sspec = jax.tree_util.tree_map(leaf_spec, state)
 

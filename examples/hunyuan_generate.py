@@ -13,8 +13,10 @@ import jax.numpy as jnp
 from chipmunk_tpu.config import load_config, ChipmunkConfig
 from chipmunk_tpu.models.hunyuan import (HunyuanModelConfig, HunyuanModel,
                                          init_hunyuan_params)
-from chipmunk_tpu.models.video_sampling import hunyuan_denoise_compiled
+from chipmunk_tpu.models.video_sampling import (hunyuan_denoise,
+                                                hunyuan_denoise_compiled)
 from chipmunk_tpu.models.sampling import get_schedule
+from chipmunk_tpu.utils.offload import OffloadPolicy
 
 
 def main():
@@ -27,7 +29,21 @@ def main():
     ap.add_argument('--depth', type=int, default=20)
     ap.add_argument('--depth-single', type=int, default=40)
     ap.add_argument('--out', default='hunyuan_latents.npy')
+    # multi-host (DCN) bring-up — the analogue of the reference's
+    # torchrun launcher flags (run_sample_video_multigpu.sh:34-46).  On
+    # TPU pods all three autodetect; pass explicitly elsewhere.
+    ap.add_argument('--multihost', action='store_true')
+    ap.add_argument('--coordinator', default=None)
+    ap.add_argument('--num-processes', type=int, default=None)
+    ap.add_argument('--process-id', type=int, default=None)
     args = ap.parse_args()
+
+    if args.multihost:
+        from chipmunk_tpu.parallel.comm import initialize_multihost
+        pid = initialize_multihost(args.coordinator, args.num_processes,
+                                   args.process_id)
+        print(f"multihost: process {pid}/{jax.process_count()}, "
+              f"{len(jax.devices())} global devices")
 
     ck = (load_config(args.chipmunk_config) if args.chipmunk_config
           else ChipmunkConfig())
@@ -52,9 +68,24 @@ def main():
     y = jnp.zeros((1, cfg.vec_in_dim), cfg.dtype)
     ts = get_schedule(args.steps, cfg.img_len, shift=False)
 
+    # honor the config's offloading block (reference hunyuan
+    # chipmunk-config.yml offloads attn out_cache + indices;
+    # models.py:796-828): per-layer caches live host-side and the layer
+    # loop streams them through a PIPELINE_DEPTH=2 window
+    policy = OffloadPolicy.from_config(ck.offloading)
+    use_streamed = policy.enabled and any(
+        policy.wants_host(n) for n in
+        ('attn_out_cache', 'attn_indices', 'mlp_out_cache',
+         'mlp_act_cache'))
     t0 = time.perf_counter()
-    out = hunyuan_denoise_compiled(model, params, lat, txt, y, ts,
-                                   key=ks[2])
+    if use_streamed:
+        print("offloading config active -> streamed (host-offload) runner")
+        streamed = model.make_streamed()
+        out = hunyuan_denoise(model, params, lat, txt, y, ts,
+                              key=ks[2], streamed=streamed)
+    else:
+        out = hunyuan_denoise_compiled(model, params, lat, txt, y, ts,
+                                       key=ks[2])
     jax.block_until_ready(out)
     print(f"done in {time.perf_counter()-t0:.1f}s")
     import numpy as np

@@ -37,12 +37,16 @@ from chipmunk_tpu.utils.quant import synth_quantized_params, QuantSpec
 
 SCALES = {
     #          latent (t, h, w)   depth      quantized
+    'tiny':    ((2, 16, 16),      (1, 2),    False),   # CPU smoke only
     'small':   ((9, 48, 80),      (2, 4),    False),
     'medium':  ((13, 90, 116),    (2, 4),    False),
     'xl':      ((17, 90, 156),    (2, 4),    False),
     'video':   ((33, 90, 160),    (2, 4),    False),
     'full30k': ((9, 100, 132),    (20, 40),  True),
 }
+# '<scale>-streamed' runs the sparse side through the host-offload
+# streamed runner (make_streamed honoring the shipped offloading block) so
+# the offload overhead is a measured number (VERDICT r2 item 2)
 
 
 def log(*a):
@@ -50,7 +54,9 @@ def log(*a):
 
 
 def bench_one(name, steps=50, trials=1):
-    (lt, lh, lw), (dd, ds), quant = SCALES[name]
+    streamed_mode = name.endswith('-streamed')
+    base = name[:-len('-streamed')] if streamed_mode else name
+    (lt, lh, lw), (dd, ds), quant = SCALES[base]
     on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
     cfg = HunyuanModelConfig(
         latent_t=lt, latent_h=lh, latent_w=lw,
@@ -90,30 +96,36 @@ def bench_one(name, steps=50, trials=1):
     y = jax.random.normal(ks[2], (1, cfg.vec_in_dim), cfg.dtype)
     ts = get_schedule(steps, cfg.img_len, shift=False)
 
-    def run(ck, tag):
+    def run(ck, tag, use_streamed=False):
         m = HunyuanModel(cfg=cfg, ck=ck, use_kernels=on_tpu)
+
+        def once():
+            streamed = m.make_streamed() if use_streamed else None
+            out = hunyuan_denoise(m, params, lat, txt, y, ts,
+                                  key=jax.random.PRNGKey(7),
+                                  streamed=streamed)
+            return float(np.asarray(out.ravel()[0]))
+
         t0 = time.perf_counter()
-        out = hunyuan_denoise(m, params, lat, txt, y, ts,
-                              key=jax.random.PRNGKey(7))
-        _ = float(np.asarray(out.ravel()[0]))
+        once()
         log(f"[{name}] {tag}: warmup(+compile) {time.perf_counter()-t0:.1f}s")
         best = float('inf')
         for t in range(trials):
             t0 = time.perf_counter()
-            out = hunyuan_denoise(m, params, lat, txt, y, ts,
-                                  key=jax.random.PRNGKey(7))
-            _ = float(np.asarray(out.ravel()[0]))
+            once()
             dt = time.perf_counter() - t0
             log(f"[{name}] {tag}: trial {t}: {dt:.2f}s")
             best = min(best, dt)
         return best
 
     t_d = run(dense_ck, 'dense')
-    t_s = run(sparse_ck, 'sparse')
+    t_s = run(sparse_ck, 'sparse-streamed' if streamed_mode else 'sparse',
+              use_streamed=streamed_mode)
     log(f"[{name}] dense {t_d:.2f}s sparse {t_s:.2f}s "
         f"-> {t_d/t_s:.3f}x")
     return {"scale": name, "seq": cfg.seq_len, "depth": f"{dd}+{ds}",
-            "quantized": quant, "dense_s": round(t_d, 2),
+            "quantized": quant, "streamed": streamed_mode,
+            "dense_s": round(t_d, 2),
             "sparse_s": round(t_s, 2), "speedup": round(t_d / t_s, 3)}
 
 

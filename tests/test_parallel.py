@@ -156,3 +156,28 @@ def test_usp_attention_matches_dense():
     o_ref, _ = dense_attn_ref(q, k, v)
     np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_initialize_multihost_single_process():
+    """Flag-gated DCN bring-up (parallel/comm.initialize_multihost): a
+    single-process coordinator init must succeed and be idempotent.  Run
+    in a subprocess — jax.distributed owns process-global state."""
+    import subprocess, sys, os
+    code = (
+        "import os\n"
+        "os.environ['JAX_PLATFORMS']='cpu'\n"
+        "import jax\n"
+        "from chipmunk_tpu.parallel.comm import initialize_multihost\n"
+        "pid = initialize_multihost('localhost:12731', 1, 0)\n"
+        "assert pid == 0, pid\n"
+        "assert initialize_multihost('localhost:12731', 1, 0) == 0\n"
+        "assert len(jax.devices()) >= 1\n"
+        "print('MULTIHOST_OK', flush=True)\n"
+        "os._exit(0)\n")  # skip the coordinator's noisy grpc shutdown
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    env.pop('XLA_FLAGS', None)
+    r = subprocess.run([sys.executable, '-c', code], capture_output=True,
+                       text=True, timeout=300, env=env,
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))))
+    assert 'MULTIHOST_OK' in r.stdout, (r.stdout, r.stderr[-2000:])
