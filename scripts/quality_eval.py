@@ -21,6 +21,13 @@ sys.path.insert(0, __file__.rsplit('/', 2)[0])
 
 import numpy as np
 import jax
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:
+    pass
 import jax.numpy as jnp
 
 from chipmunk_tpu.config import config_from_dict
@@ -124,6 +131,89 @@ def run_flux(args):
         print(f"{name}\t{cos:.5f}\t{psnr:.1f}\t{rel:.4f}", flush=True)
 
 
+# ------------------------------------------------- FLUX full-depth (19+38)
+
+def run_flux_full(args):
+    """Quality at the exact headline operating point of bench.py: FULL
+    depth (19+38, 11.9B params), quantized weight residency (int4
+    attn/mod + int8 sparse-MLP + int4 dense-MLP), fp8 act/out caches,
+    bm=512, step caching.  Dense reference uses the SAME quantized
+    weights, so every row isolates the sparsity/caching knobs, exactly
+    like bench.py's speedup comparison (and the reference's
+    torch.compile-vs-chipmunk one, /root/reference/README.md:93-95)."""
+    from chipmunk_tpu.models import FluxModelConfig, FluxSparse
+    from chipmunk_tpu.models.sampling import FluxSampler, get_schedule
+    from chipmunk_tpu.utils.quant import (synth_quantized_flux_params,
+                                          QuantSpec)
+    on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    d, ds = 19, 38
+    model = FluxModelConfig(depth=d, depth_single_blocks=ds,
+                            guidance_embed=True, dtype=dtype)
+    params = synth_quantized_flux_params(
+        0, model, QuantSpec(attn='int4', mod='int4',
+                            mlp_sparse='int8', mlp_dense='int4'))
+    h_img, w_img = 48, 80
+    seq = model.txt_len + h_img * w_img
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    img = jax.random.normal(ks[0], (1, h_img * w_img, 64), dtype)
+    txt = jax.random.normal(ks[1], (1, model.txt_len, 4096), dtype)
+    y = jax.random.normal(ks[2], (1, 768), dtype)
+    ts = get_schedule(args.steps, h_img * w_img)
+
+    def denoise(ck):
+        sp = FluxSparse.build(ck, model, seq, use_kernels=on_tpu)
+        sampler = FluxSampler(cfg=model, ck=ck, sp=sp, h_img=h_img,
+                              w_img=w_img)
+        out = sampler.denoise(params, img, txt, y, ts)
+        return np.asarray(out.astype(jnp.float32))
+
+    nd = 2
+    attn = {'top_keys': 0.165, 'full_step_every': 10,
+            'first_n_dense_layers': nd, 'recompute_mask': False,
+            'should_compress_indices': False,
+            'out_cache_dtype': 'float8_e4m3fn'}
+    mlp = {'top_keys': 0.3, 'full_step_every': 10, 'block_mask_cache': 2,
+           'first_n_dense_layers': nd, 'bm': 512,
+           'act_cache_dtype': 'float8_e4m3fn',
+           'out_cache_dtype': 'float8_e4m3fn'}
+    dense_ck = config_from_dict({'steps': args.steps,
+                                 'attn': {'is_enabled': False},
+                                 'mlp': {'is_enabled': False},
+                                 'step_caching': {'is_enabled': False}})
+    t0 = time.perf_counter()
+    ref = denoise(dense_ck)
+    print(f"# dense ref done ({time.perf_counter()-t0:.0f}s)", flush=True)
+
+    ablations = {
+        'full-headline(+stepcache)': {
+            'attn': dict(attn), 'mlp': dict(mlp),
+            'step_caching': {'is_enabled': True}},
+        'full-no-stepcache': {
+            'attn': dict(attn), 'mlp': dict(mlp),
+            'step_caching': {'is_enabled': False}},
+        'full-bf16-caches(+stepcache)': {
+            'attn': {k: v for k, v in attn.items()
+                     if k != 'out_cache_dtype'},
+            'mlp': {k: v for k, v in mlp.items()
+                    if not k.endswith('cache_dtype')},
+            'step_caching': {'is_enabled': True}},
+    }
+    print("name\tcosine\tpsnr_db\trel_l2", flush=True)
+    for name, cfg in ablations.items():
+        cfg = dict(cfg)
+        cfg['steps'] = args.steps
+        t0 = time.perf_counter()
+        try:
+            out = denoise(config_from_dict(cfg))
+        except Exception as e:
+            print(f"{name}\tFAILED({type(e).__name__})", flush=True)
+            continue
+        cos, psnr, rel = metrics(out, ref)
+        print(f"{name}\t{cos:.5f}\t{psnr:.1f}\t{rel:.4f}"
+              f"\t({time.perf_counter()-t0:.0f}s)", flush=True)
+
+
 # --------------------------------------------------------------- Hunyuan
 
 def run_hunyuan(args):
@@ -180,11 +270,14 @@ def run_hunyuan(args):
 
 if __name__ == '__main__':
     ap = argparse.ArgumentParser()
-    ap.add_argument('--model', default='flux', choices=['flux', 'hunyuan'])
+    ap.add_argument('--model', default='flux',
+                    choices=['flux', 'flux-full', 'hunyuan'])
     ap.add_argument('--steps', type=int, default=50)
     ap.add_argument('--depth', type=int, nargs=2, default=[4, 8])
     args = ap.parse_args()
     if args.model == 'flux':
         run_flux(args)
+    elif args.model == 'flux-full':
+        run_flux_full(args)
     else:
         run_hunyuan(args)
