@@ -52,8 +52,19 @@ MM2_COUT_BLOCK = 1024
 VMEM_LIMIT = 64 * 1024 * 1024
 
 
+def _dq4(q, dtype):
+    """In-kernel int4 plane-split dequant: [r, c/2] uint8 (offset-binary
+    nibbles; position i holds cols i and i + c/2, utils/quant.py format)
+    -> [r, c] in ``dtype`` (scale NOT applied — folded post-matmul).
+    Two shifts + one concat: no lane interleave, VPU-cheap; the HBM win
+    is the point — gathered weight traffic halves vs int8/fp8."""
+    lo = (q & 0xF).astype(jnp.int8) - 8
+    hi = (q >> 4).astype(jnp.int8) - 8
+    return jnp.concatenate([lo, hi], axis=-1).astype(dtype)
+
+
 def _mm1_kernel(inds_ref, counts_ref,           # scalar prefetch (SMEM)
-                *refs, wq: bool = False):
+                *refs, wq: bool = False, w4: bool = False):
     if wq:
         (x_ref, w1t_ref, ws_ref, b1_ref, cache_ref,
          packed_ref, newcache_ref) = refs
@@ -63,8 +74,10 @@ def _mm1_kernel(inds_ref, counts_ref,           # scalar prefetch (SMEM)
     m, j = pl.program_id(0), pl.program_id(1)
     valid = j < counts_ref[m]
     x = x_ref[:]                                  # [BM, C] bf16
-    w = w1t_ref[:]                                # [bn, C] bf16 | fp8 | int8
-    if wq:
+    w = w1t_ref[:]                     # [bn, C] bf16|fp8|int8 | [bn,C/2] u8
+    if w4:
+        w = _dq4(w, x.dtype)
+    elif wq:
         # quantized weights: per-out-row scale folded AFTER the matmul
         # ([BM,bn] multiply beats dequantizing the [bn,C] block; the
         # reference's fp8 Triton mm1 fuses scales the same way,
@@ -113,12 +126,14 @@ def csp_mlp_mm1(x: jnp.ndarray, w1t: jnp.ndarray, b1: jnp.ndarray,
     from ..utils.quant import QTensor
     T, C = x.shape
     wq = isinstance(w1t, QTensor)
+    w4 = wq and w1t.pack_axis is not None
     if wq:
-        assert w1t.pack_axis is None, "csp_mlp: int4-packed weights unsupported"
+        assert not w4 or w1t.pack_axis in (-1, 1), w1t.pack_axis
         w1q, w1s = w1t.q, w1t.scale
     else:
         w1q, w1s = w1t, None
     N = w1q.shape[0]
+    wC = C // 2 if w4 else C          # stored (packed) contraction width
     assert T % bm == 0 and N % bn == 0
     M, jmax = inds.shape
     assert M == T // bm, (M, T, bm)
@@ -136,7 +151,7 @@ def csp_mlp_mm1(x: jnp.ndarray, w1t: jnp.ndarray, b1: jnp.ndarray,
         grid=(M, jmax),
         in_specs=[
             pl.BlockSpec((bm, C), lambda m, j, I, c: (m, 0)),
-            pl.BlockSpec((bn, C), lambda m, j, I, c: (I[m, j], 0)),
+            pl.BlockSpec((bn, wC), lambda m, j, I, c: (I[m, j], 0)),
             *extra_specs,
             pl.BlockSpec((1, 1, bn), lambda m, j, I, c: (I[m, j], 0, 0)),
             pl.BlockSpec((bm, bn), lambda m, j, I, c: (m, I[m, j])),
@@ -147,7 +162,7 @@ def csp_mlp_mm1(x: jnp.ndarray, w1t: jnp.ndarray, b1: jnp.ndarray,
         ],
     )
     packed, new_cache = pl.pallas_call(
-        functools.partial(_mm1_kernel, wq=wq),
+        functools.partial(_mm1_kernel, wq=wq, w4=w4),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, jmax * bn), x.dtype),
@@ -163,7 +178,7 @@ def csp_mlp_mm1(x: jnp.ndarray, w1t: jnp.ndarray, b1: jnp.ndarray,
 
 
 def _mm2_kernel(inds_ref, counts_ref,
-                *refs, wq: bool = False):
+                *refs, wq: bool = False, w4: bool = False):
     if wq:
         packed_ref, w2_ref, ws_ref, outin_ref, out_ref, acc_ref = refs
     else:
@@ -181,7 +196,10 @@ def _mm2_kernel(inds_ref, counts_ref,
     def _():
         a = packed_ref[:]
         w = w2_ref[:]
-        if wq:
+        if w4:
+            w = _dq4(w, a.dtype)
+            a = a * ws_ref[0].astype(a.dtype)
+        elif wq:
             # per-N-row scale folded into the packed operand ([bm,bn]
             # multiply, cheaper than dequantizing the [bn,cb] block)
             a = a * ws_ref[0].astype(a.dtype)
@@ -210,18 +228,24 @@ def csp_mlp_mm2(packed: jnp.ndarray, w2: jnp.ndarray, out_cache: jnp.ndarray,
     from ..utils.quant import QTensor
     T, _ = packed.shape
     wq = isinstance(w2, QTensor)
+    w4 = wq and w2.pack_axis is not None
     if wq:
-        assert w2.pack_axis is None, "csp_mlp: int4-packed weights unsupported"
+        assert not w4 or w2.pack_axis in (-1, 1), w2.pack_axis
         w2q, w2s = w2.q, w2.scale
     else:
         w2q, w2s = w2, None
-    N, Cout = w2q.shape
+    N = w2q.shape[0]
+    Cout = w2q.shape[1] * (2 if w4 else 1)
     M, jmax = inds.shape
     assert M == T // bm
     counts = jnp.clip(counts, 1, jmax).astype(jnp.int32)
     inds = pad_block_indices(inds, counts).astype(jnp.int32)
-    cb = min(MM2_COUT_BLOCK, Cout)
+    # int4 plane-packing interleaves output columns (stored col i = orig
+    # cols i and i + Cout/2), so the output dim can't be blocked -> one
+    # whole-Cout block (acc [bm, Cout] fp32 stays small at MLP Cout)
+    cb = Cout if w4 else min(MM2_COUT_BLOCK, Cout)
     assert Cout % cb == 0
+    wcb = cb // 2 if w4 else cb
     extra_in, extra_specs = (), ()
     if wq:
         extra_in = (w2s.astype(jnp.float32).reshape(N // bn, 1, bn),)
@@ -233,7 +257,7 @@ def csp_mlp_mm2(packed: jnp.ndarray, w2: jnp.ndarray, out_cache: jnp.ndarray,
         grid=(M, Cout // cb, jmax),
         in_specs=[
             pl.BlockSpec((bm, bn), lambda m, co, j, I, c: (m, j)),
-            pl.BlockSpec((bn, cb), lambda m, co, j, I, c: (I[m, j], co)),
+            pl.BlockSpec((bn, wcb), lambda m, co, j, I, c: (I[m, j], co)),
             *extra_specs,
             pl.BlockSpec((bm, cb), lambda m, co, j, I, c: (m, co)),
         ],
@@ -241,7 +265,7 @@ def csp_mlp_mm2(packed: jnp.ndarray, w2: jnp.ndarray, out_cache: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((bm, cb), jnp.float32)],
     )
     out = pl.pallas_call(
-        functools.partial(_mm2_kernel, wq=wq),
+        functools.partial(_mm2_kernel, wq=wq, w4=w4),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, Cout), out_cache.dtype),
         input_output_aliases={4 + len(extra_in): 0},  # out_cache -> out
@@ -253,7 +277,8 @@ def csp_mlp_mm2(packed: jnp.ndarray, w2: jnp.ndarray, out_cache: jnp.ndarray,
 
 
 def _fused_kernel(inds_ref, counts_ref,          # scalar prefetch (SMEM)
-                  *refs, wq: bool = False, nj: int = 0):
+                  *refs, wq: bool = False, nj: int = 0,
+                  w4: bool = False):
     """mm1 + mm2 in one pass: the packed delta lives only in registers/
     VMEM — never written to HBM (the reference pays a packed round-trip
     between its two kernels and fights the launch gap with a CUDA-graph
@@ -274,8 +299,10 @@ def _fused_kernel(inds_ref, counts_ref,          # scalar prefetch (SMEM)
         acc_ref[:] = outin_ref[:].astype(jnp.float32)
 
     x = x_ref[:]                                  # [BM, C]
-    w1 = w1t_ref[:]                               # [bn, C]
-    if wq:
+    w1 = w1t_ref[:]                               # [bn, C] (or [bn, C/2])
+    if w4:
+        w1 = _dq4(w1, x.dtype)
+    elif wq:
         w1 = w1.astype(x.dtype)
     mid = jax.lax.dot_general(x, w1, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
@@ -290,7 +317,10 @@ def _fused_kernel(inds_ref, counts_ref,          # scalar prefetch (SMEM)
                  - cache_ref[:].astype(jnp.float32)).astype(x.dtype)
         newcache_ref[:] = act
         w2 = w2_ref[:]
-        if wq:
+        if w4:
+            delta = delta * w2s_ref[0].astype(delta.dtype)
+            w2 = _dq4(w2, delta.dtype)
+        elif wq:
             delta = delta * w2s_ref[0].astype(delta.dtype)
             w2 = w2.astype(delta.dtype)
         acc_ref[:] += jax.lax.dot_general(
@@ -318,13 +348,16 @@ def csp_mlp_fused(x: jnp.ndarray, w1t, b1: jnp.ndarray, w2,
     T, C = x.shape
     wq = isinstance(w1t, QTensor)
     assert wq == isinstance(w2, QTensor), "quantize both or neither"
+    w4 = wq and w1t.pack_axis is not None
     if wq:
-        assert w1t.pack_axis is None and w2.pack_axis is None
+        assert (w1t.pack_axis is None) == (w2.pack_axis is None), \
+            "int4-pack both or neither"
         w1q, w1s, w2q, w2s = w1t.q, w1t.scale, w2.q, w2.scale
     else:
         w1q, w2q = w1t, w2
     N = w1q.shape[0]
-    Cout = w2q.shape[1]
+    Cout = w2q.shape[1] * (2 if w4 else 1)
+    wC = C // 2 if w4 else C
     assert T % bm == 0 and N % bn == 0
     M, jmax = inds.shape
     assert M == T // bm, (M, T, bm)
@@ -334,7 +367,7 @@ def csp_mlp_fused(x: jnp.ndarray, w1t, b1: jnp.ndarray, w2,
     ins = [x, w1q]
     in_specs = [
         pl.BlockSpec((bm, C), lambda m, j, I, c: (m, 0)),
-        pl.BlockSpec((bn, C), lambda m, j, I, c: (I[m, j], 0)),
+        pl.BlockSpec((bn, wC), lambda m, j, I, c: (I[m, j], 0)),
     ]
     if wq:
         ins.append(w1s.astype(jnp.float32).reshape(N // bn, 1, bn))
@@ -343,7 +376,8 @@ def csp_mlp_fused(x: jnp.ndarray, w1t, b1: jnp.ndarray, w2,
     ins += [b1r, w2q]
     in_specs += [
         pl.BlockSpec((1, 1, bn), lambda m, j, I, c: (I[m, j], 0, 0)),
-        pl.BlockSpec((bn, Cout), lambda m, j, I, c: (I[m, j], 0)),
+        pl.BlockSpec((bn, Cout // 2 if w4 else Cout),
+                     lambda m, j, I, c: (I[m, j], 0)),
     ]
     if wq:
         ins.append(w2s.astype(jnp.float32).reshape(N // bn, 1, bn))
@@ -366,7 +400,7 @@ def csp_mlp_fused(x: jnp.ndarray, w1t, b1: jnp.ndarray, w2,
         scratch_shapes=[pltpu.VMEM((bm, Cout), jnp.float32)],
     )
     new_out, new_cache = pl.pallas_call(
-        functools.partial(_fused_kernel, wq=wq, nj=jmax),
+        functools.partial(_fused_kernel, wq=wq, nj=jmax, w4=w4),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, Cout), out_cache.dtype),

@@ -103,11 +103,14 @@ def init_hunyuan_params(key: jax.Array, cfg: HunyuanModelConfig) -> Dict:
     core = cfg.core()
     params = init_flux_params(key, core)
     h, dt = cfg.hidden_size, cfg.dtype
-    ks = iter(jax.random.split(jax.random.fold_in(key, 77), 12))
+    ks = iter(jax.random.split(jax.random.fold_in(key, 77), 24))
     # text refiner: input proj + 2 blocks of (attn + mlp) with time gate
     params['refiner'] = {
         'in': init_linear(next(ks), cfg.text_dim, h, dt),
         't_embed': init_mlp_embedder(next(ks), 256, h, dt),
+        # context embedder: TextProjection over the seq-mean of the raw
+        # text states (reference token_refiner.py:219-229 c_embedder)
+        'c_embed': init_mlp_embedder(next(ks), cfg.text_dim, h, dt),
         'blocks': [
             {
                 'qkv': init_linear(next(ks), h, 3 * h, dt),
@@ -115,6 +118,12 @@ def init_hunyuan_params(key: jax.Array, cfg: HunyuanModelConfig) -> Dict:
                 'fc1': init_linear(next(ks), h, 4 * h, dt),
                 'fc2': init_linear(next(ks), 4 * h, h, dt),
                 'gate': init_linear(next(ks), h, 2 * h, dt),
+                # affine LayerNorms (reference blocks use
+                # elementwise_affine=True, token_refiner.py:36-38, 57-59)
+                'norm1_w': jnp.ones((h,), dt),
+                'norm1_b': jnp.zeros((h,), dt),
+                'norm2_w': jnp.ones((h,), dt),
+                'norm2_b': jnp.zeros((h,), dt),
             } for _ in range(2)
         ],
     }
@@ -124,16 +133,18 @@ def init_hunyuan_params(key: jax.Array, cfg: HunyuanModelConfig) -> Dict:
 def text_refiner(p: Dict, txt: jnp.ndarray, t_emb: jnp.ndarray,
                  num_heads: int) -> jnp.ndarray:
     """Individual-token text refiner (reference hyvideo/modules/
-    token_refiner.py): self-attention + MLP blocks with timestep-gated
-    residuals."""
+    token_refiner.py SingleTokenRefiner): self-attention + silu-MLP
+    blocks, residuals gated by adaLN of (timestep embed + context embed
+    of the seq-mean of the raw text states); affine block norms."""
+    c = (mlp_embedder(p['t_embed'], t_emb)
+         + mlp_embedder(p['c_embed'], txt.mean(axis=1)))
     x = linear(p['in'], txt)
-    c = mlp_embedder(p['t_embed'], t_emb)
     B, S, h = x.shape
     D = h // num_heads
     for blk in p['blocks']:
         gates = linear(blk['gate'], jax.nn.silu(c))[:, None, :]
         g1, g2 = jnp.split(gates, 2, axis=-1)
-        xn = layernorm(x)
+        xn = layernorm(x) * blk['norm1_w'] + blk['norm1_b']
         q, k, v = jnp.split(linear(blk['qkv'], xn), 3, axis=-1)
         q, k, v = (z.reshape(B, S, num_heads, D).transpose(0, 2, 1, 3)
                    for z in (q, k, v))
@@ -143,8 +154,9 @@ def text_refiner(p: Dict, txt: jnp.ndarray, t_emb: jnp.ndarray,
                                       ).astype(x.dtype), v)
         o = o.transpose(0, 2, 1, 3).reshape(B, S, h)
         x = x + g1 * linear(blk['proj'], o)
-        xm = jax.nn.gelu(linear(blk['fc1'], layernorm(x)).astype(
-            jnp.float32), approximate=True).astype(x.dtype)
+        xn2 = layernorm(x) * blk['norm2_w'] + blk['norm2_b']
+        xm = jax.nn.silu(linear(blk['fc1'], xn2).astype(jnp.float32)
+                         ).astype(x.dtype)
         x = x + g2 * linear(blk['fc2'], xm)
     return x
 

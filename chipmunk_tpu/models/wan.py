@@ -88,13 +88,19 @@ def init_wan_params(key: jax.Array, cfg: WanModelConfig) -> Dict:
             'k': init_linear(next(kk), d, d, dt),
             'v': init_linear(next(kk), d, d, dt),
             'o': init_linear(next(kk), d, d, dt),
-            'qnorm': jnp.ones((cfg.head_dim,), dt),
-            'knorm': jnp.ones((cfg.head_dim,), dt),
-            # cross attention
+            # full-dim RMSNorm applied BEFORE the head split (reference
+            # WanSelfAttention: norm_q(q(x)) on [b, s, dim], model.py:
+            # 131-146 — NOT per-head like FLUX)
+            'qnorm': jnp.ones((d,), dt),
+            'knorm': jnp.ones((d,), dt),
+            # cross attention (WanT2VCrossAttention inherits the same
+            # full-dim norm_q/norm_k, model.py:183-206)
             'cq': init_linear(next(kk), d, d, dt),
             'ck': init_linear(next(kk), d, d, dt),
             'cv': init_linear(next(kk), d, d, dt),
             'co': init_linear(next(kk), d, d, dt),
+            'cqnorm': jnp.ones((d,), dt),
+            'cknorm': jnp.ones((d,), dt),
             'norm3_scale': jnp.ones((d,), dt),
             'norm3_bias': jnp.zeros((d,), dt),
             # FFN stored output-major for the sparse kernels
@@ -239,14 +245,14 @@ class WanModel:
             mod = e6[:, :, None, :] + p['mod_bias'][None, :, None, :]
             # self attention
             xn = (1 + mod[:, 1]) * layernorm(x) + mod[:, 0]
-            q = linear(p['q'], xn).reshape(B, -1, H, cfg.head_dim
-                                           ).transpose(0, 2, 1, 3)
-            k = linear(p['k'], xn).reshape(B, -1, H, cfg.head_dim
-                                           ).transpose(0, 2, 1, 3)
+            q = rmsnorm(linear(p['q'], xn), p['qnorm']).reshape(
+                B, -1, H, cfg.head_dim).transpose(0, 2, 1, 3)
+            k = rmsnorm(linear(p['k'], xn), p['knorm']).reshape(
+                B, -1, H, cfg.head_dim).transpose(0, 2, 1, 3)
             v = linear(p['v'], xn).reshape(B, -1, H, cfg.head_dim
                                            ).transpose(0, 2, 1, 3)
-            q = apply_rope(rmsnorm(q, p['qnorm']), cos, sin)
-            k = apply_rope(rmsnorm(k, p['knorm']), cos, sin)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
             is_dense = idx < self.ck.attn.first_n_dense_layers
             o, ast2 = _attn_call(self.attn_mod, q, k, v, ast, step,
                                  is_dense, lkey)

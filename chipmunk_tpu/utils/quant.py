@@ -118,8 +118,9 @@ class QuantSpec(NamedTuple):
 
     attn:       qkv / proj / o_proj linears
     mod:        adaLN modulation linears
-    mlp_sparse: weights read by the csp_mlp kernels (fp8/int8 only — the
-                gather path needs same-shape blocks, so no int4 packing)
+    mlp_sparse: weights read by the csp_mlp kernels (fp8/int8/int4 —
+                int4 is plane-packed along the contraction axis and
+                dequantized in-kernel, halving gather traffic)
     mlp_dense:  dense-path MLP weights (double-block txt MLP)
     """
     attn: Optional[str] = 'fp8'
@@ -138,7 +139,7 @@ def quantize_flux_params(params, spec: QuantSpec = QuantSpec()):
     modulation quantization is a spec choice (default on — per-channel
     scales keep adaLN accurate enough; set mod=None for strict parity).
     """
-    assert spec.mlp_sparse in (None, 'fp8', 'int8'), spec.mlp_sparse
+    assert spec.mlp_sparse in (None, 'fp8', 'int8', 'int4'), spec.mlp_sparse
 
     def qlin(p, kind):
         if kind is None:

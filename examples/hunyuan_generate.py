@@ -28,6 +28,8 @@ def main():
     ap.add_argument('--seed', type=int, default=0)
     ap.add_argument('--depth', type=int, default=20)
     ap.add_argument('--depth-single', type=int, default=40)
+    ap.add_argument('--ckpt', default=None,
+                    help='transformer .safetensors path (optional; random weights otherwise)')
     ap.add_argument('--out', default='hunyuan_latents.npy')
     # multi-host (DCN) bring-up — the analogue of the reference's
     # torchrun launcher flags (run_sample_video_multigpu.sh:34-46).  On
@@ -60,7 +62,11 @@ def main():
 
     print("initializing params (pass real weights via loaders for "
           "production use)")
-    params = init_hunyuan_params(jax.random.PRNGKey(1), cfg)
+    if args.ckpt:
+        from chipmunk_tpu.models.loaders import load_hunyuan_safetensors
+        params = load_hunyuan_safetensors(args.ckpt, cfg)
+    else:
+        params = init_hunyuan_params(jax.random.PRNGKey(1), cfg)
     ks = jax.random.split(jax.random.PRNGKey(args.seed), 3)
     lat = jax.random.normal(ks[0], (1, cfg.in_channels, cfg.latent_t,
                                     cfg.latent_h, cfg.latent_w), cfg.dtype)

@@ -25,6 +25,8 @@ def main():
     ap.add_argument('--guide-scale', type=float, default=5.0)
     ap.add_argument('--seed', type=int, default=0)
     ap.add_argument('--layers', type=int, default=30)
+    ap.add_argument('--ckpt', default=None,
+                    help='transformer .safetensors path (optional; random weights otherwise)')
     ap.add_argument('--out', default='wan_latents.npy')
     args = ap.parse_args()
 
@@ -41,7 +43,11 @@ def main():
         dtype=jnp.bfloat16 if on_tpu else jnp.float32)
     model = WanModel(cfg=cfg, ck=ck, use_kernels=on_tpu)
 
-    params = init_wan_params(jax.random.PRNGKey(1), cfg)
+    if args.ckpt:
+        from chipmunk_tpu.models.loaders import load_wan_safetensors
+        params = load_wan_safetensors(args.ckpt, cfg)
+    else:
+        params = init_wan_params(jax.random.PRNGKey(1), cfg)
     ks = jax.random.split(jax.random.PRNGKey(args.seed), 4)
     lat = jax.random.normal(ks[0], (1, cfg.in_channels, cfg.latent_t,
                                     cfg.latent_h, cfg.latent_w), cfg.dtype)

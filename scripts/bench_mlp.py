@@ -24,7 +24,8 @@ from bench_util import bench_loop
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--keep', type=float, default=0.3)
-    ap.add_argument('--quant', default='fp8', choices=['fp8', 'none'])
+    ap.add_argument('--quant', default='fp8',
+                    choices=['fp8', 'int8', 'int4', 'none'])
     ap.add_argument('--tokens', type=int, default=4608)
     ap.add_argument('--iters', type=int, default=16)
     args = ap.parse_args()
@@ -36,9 +37,10 @@ def main():
     w1t = (jax.random.normal(ks[1], (N, C)) * C ** -0.5).astype(dt)
     b1 = jnp.zeros((N,), dt)
     w2 = (jax.random.normal(ks[2], (N, C)) * N ** -0.5).astype(dt)
-    if args.quant == 'fp8':
-        w1u = quantize(w1t, 'fp8', keep_axes=(0,))
-        w2u = quantize(w2, 'fp8', keep_axes=(0,))
+    if args.quant != 'none':
+        pa = 1 if args.quant == 'int4' else None
+        w1u = quantize(w1t, args.quant, keep_axes=(0,), pack_axis=pa)
+        w2u = quantize(w2, args.quant, keep_axes=(0,), pack_axis=pa)
     else:
         w1u, w2u = w1t, w2
 

@@ -19,7 +19,7 @@ def rand_qkv(b=1, h=2, s=256, d=128, dtype=jnp.float32):
 
 def test_dense_attn_kernel():
     q, k, v = rand_qkv()
-    o, lse = dense_attn(q, k, v, bq=128, bk=128, interpret=True)
+    o, lse = dense_attn(q, k, v, bq=128, bk=128, chains=2, interpret=True)
     o_ref, lse_ref = ops.dense_attn_ref(q, k, v)
     np.testing.assert_allclose(o, o_ref, atol=2e-3, rtol=2e-3)
     np.testing.assert_allclose(lse, lse_ref, atol=2e-3, rtol=2e-3)
@@ -27,7 +27,7 @@ def test_dense_attn_kernel():
 
 def test_dense_attn_kernel_unaligned_seq():
     q, k, v = rand_qkv(s=300)  # not a multiple of bq or bk
-    o, lse = dense_attn(q, k, v, bq=128, bk=128, interpret=True)
+    o, lse = dense_attn(q, k, v, bq=128, bk=128, chains=2, interpret=True)
     o_ref, lse_ref = ops.dense_attn_ref(q, k, v)
     np.testing.assert_allclose(o, o_ref, atol=2e-3, rtol=2e-3)
     np.testing.assert_allclose(lse, lse_ref, atol=2e-3, rtol=2e-3)
@@ -186,3 +186,68 @@ def test_csp_mlp_fused_matches_two_kernel(wq):
                                atol=2e-4, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_csp_mlp_int4_matches_dequant_reference():
+    """int4 plane-packed weights: the in-kernel _dq4 path (fused AND
+    two-kernel) must match the eager dequant reference."""
+    from chipmunk_tpu.kernels.csp_mlp import (csp_mlp_fused, csp_mlp_mm1,
+                                              csp_mlp_mm2)
+    from chipmunk_tpu.ops import mlp_ref
+    from chipmunk_tpu.utils.quant import quantize, dequant
+    T, C, N, bn, bm = 256, 256, 512, 128, 128
+    ks = jax.random.split(jax.random.PRNGKey(9), 6)
+    x = jax.random.normal(ks[0], (T, C), jnp.float32)
+    w1t = jax.random.normal(ks[1], (N, C)) * C ** -0.5
+    b1 = jax.random.normal(ks[2], (N,)) * 0.1
+    w2 = jax.random.normal(ks[3], (N, C)) * N ** -0.5
+    cache = jax.random.normal(ks[4], (T, N), jnp.float32) * 0.1
+    out = jax.random.normal(ks[5], (T, C), jnp.float32) * 0.1
+    M = T // bm
+    inds = jnp.tile(jnp.asarray([[0, 2, 3]], jnp.int32), (M, 1))
+    counts = jnp.asarray([3, 2], jnp.int32)
+    w1q = quantize(w1t, 'int4', keep_axes=(0,), pack_axis=1)
+    w2q = quantize(w2, 'int4', keep_axes=(0,), pack_axis=1)
+    assert w1q.q.shape == (N, C // 2)
+
+    o1, c1 = csp_mlp_fused(x, w1q, b1, w2q, cache, out, inds, counts,
+                           bn=bn, bm=bm, interpret=True)
+    packed, c2 = csp_mlp_mm1(x, w1q, b1, cache, inds, counts,
+                             bn=bn, bm=bm, interpret=True)
+    o2 = csp_mlp_mm2(packed, w2q, out, inds, counts, bn=bn, bm=bm,
+                     interpret=True)
+    # eager reference on the dequantized weights
+    w1d, w2d = dequant(w1q, jnp.float32), dequant(w2q, jnp.float32)
+    tinds = (inds[..., None] * bn + jnp.arange(bn)).reshape(M, -1)
+    o_ref, c_ref = mlp_ref.csp_mlp_ref(
+        x, w1d.T, b1, w2d, tinds.astype(jnp.int32), counts * bn,
+        cache, out, bm=bm,
+        act=lambda z: jax.nn.gelu(z, approximate=True))
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o_ref),
+                               atol=3e-3, rtol=3e-3)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o_ref),
+                               atol=3e-3, rtol=3e-3)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_dense_attn_two_chain_matches_ref():
+    """The two-interleaved-chain path (Sk >= 4*bk) must match the eager
+    reference, including a partial final slab where chain 1 is all pad."""
+    from chipmunk_tpu.kernels.flash_attention import dense_attn
+    from chipmunk_tpu.ops import attn_ref
+    B, H, D = 1, 2, 64
+    for Sk in (1024, 1024 + 130, 1024 + 700):   # exact / chain-1-all-pad /
+        Sq = 256                                 # partial chain-1
+        ks = jax.random.split(jax.random.PRNGKey(11), 3)
+        q = jax.random.normal(ks[0], (B, H, Sq, D), jnp.float32)
+        k = jax.random.normal(ks[1], (B, H, Sk, D), jnp.float32)
+        v = jax.random.normal(ks[2], (B, H, Sk, D), jnp.float32)
+        o, lse = dense_attn(q, k, v, bq=128, bk=128, chains=2, interpret=True)
+        o_ref, lse_ref = attn_ref.dense_attn_ref(q, k, v)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                                   atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref),
+                                   atol=2e-4, rtol=2e-4)

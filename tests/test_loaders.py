@@ -141,3 +141,177 @@ def test_ae_decoder_upsample_doubles():
     x = jnp.ones((1, 4, 5, 7))
     y = _upsample(p, x)
     assert y.shape == (1, 4, 10, 14)
+
+
+# --------------------------------------------------- HunyuanVideo / Wan2.1
+
+def synth_hunyuan_state_dict(cfg, rng):
+    """Reference hyvideo transformer key layout (models.py:541-620)."""
+    core = cfg.core()
+    h, mh = core.hidden_size, core.mlp_hidden
+    hd = h // core.num_heads
+    pt, ph, pw = cfg.patch_size
+    sd = {}
+
+    def lin(name, din, dout):
+        sd[f'{name}.weight'] = rng.standard_normal((dout, din)).astype(
+            np.float32) * 0.02
+        sd[f'{name}.bias'] = rng.standard_normal((dout,)).astype(
+            np.float32) * 0.02
+
+    sd['img_in.proj.weight'] = rng.standard_normal(
+        (h, cfg.in_channels, pt, ph, pw)).astype(np.float32) * 0.02
+    sd['img_in.proj.bias'] = np.zeros((h,), np.float32)
+    lin('txt_in.input_embedder', cfg.text_dim, h)
+    lin('txt_in.t_embedder.mlp.0', 256, h)
+    lin('txt_in.t_embedder.mlp.2', h, h)
+    lin('txt_in.c_embedder.linear_1', cfg.text_dim, h)
+    lin('txt_in.c_embedder.linear_2', h, h)
+    for i in range(2):
+        p = f'txt_in.individual_token_refiner.blocks.{i}'
+        lin(f'{p}.self_attn_qkv', h, 3 * h)
+        lin(f'{p}.self_attn_proj', h, h)
+        lin(f'{p}.mlp.fc1', h, 4 * h)
+        lin(f'{p}.mlp.fc2', 4 * h, h)
+        lin(f'{p}.adaLN_modulation.1', h, 2 * h)
+        for n in ('norm1', 'norm2'):
+            sd[f'{p}.{n}.weight'] = np.ones((h,), np.float32)
+            sd[f'{p}.{n}.bias'] = np.zeros((h,), np.float32)
+    lin('time_in.mlp.0', 256, h)
+    lin('time_in.mlp.2', h, h)
+    lin('vector_in.in_layer', cfg.vec_in_dim, h)
+    lin('vector_in.out_layer', h, h)
+    lin('guidance_in.mlp.0', 256, h)
+    lin('guidance_in.mlp.2', h, h)
+    for i in range(cfg.depth_double):
+        p = f'double_blocks.{i}'
+        lin(f'{p}.img_mod.linear', h, 6 * h)
+        lin(f'{p}.txt_mod.linear', h, 6 * h)
+        lin(f'{p}.img_attn_qkv', h, 3 * h)
+        lin(f'{p}.txt_attn_qkv', h, 3 * h)
+        for n in ('img_attn', 'txt_attn'):
+            sd[f'{p}.{n}_q_norm.weight'] = np.ones((hd,), np.float32)
+            sd[f'{p}.{n}_k_norm.weight'] = np.ones((hd,), np.float32)
+        lin(f'{p}.img_attn_proj', h, h)
+        lin(f'{p}.txt_attn_proj', h, h)
+        lin(f'{p}.img_mlp.fc1', h, mh)
+        lin(f'{p}.img_mlp.fc2', mh, h)
+        lin(f'{p}.txt_mlp.fc1', h, mh)
+        lin(f'{p}.txt_mlp.fc2', mh, h)
+    for i in range(cfg.depth_single):
+        p = f'single_blocks.{i}'
+        lin(f'{p}.modulation.linear', h, 3 * h)
+        lin(f'{p}.linear1', h, 3 * h + mh)
+        lin(f'{p}.linear2', h + mh, h)
+        sd[f'{p}.q_norm.weight'] = np.ones((hd,), np.float32)
+        sd[f'{p}.k_norm.weight'] = np.ones((hd,), np.float32)
+    lin('final_layer.adaLN_modulation.1', h, 2 * h)
+    lin('final_layer.linear', h, pt * ph * pw * cfg.in_channels)
+    return sd
+
+
+def test_hunyuan_loader_tree_matches_init():
+    from chipmunk_tpu.models.hunyuan import (HunyuanModelConfig,
+                                             init_hunyuan_params)
+    from chipmunk_tpu.models.loaders import load_hunyuan_params
+    cfg = HunyuanModelConfig(latent_t=2, latent_h=8, latent_w=8,
+                             hidden_size=128, num_heads=2, depth_double=2,
+                             depth_single=2, axes_dim=(16, 24, 24),
+                             txt_len=128, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    loaded = load_hunyuan_params(synth_hunyuan_state_dict(cfg, rng), cfg)
+    ref = init_hunyuan_params(jax.random.PRNGKey(0), cfg)
+    assert (jax.tree_util.tree_structure(loaded)
+            == jax.tree_util.tree_structure(ref))
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(loaded),
+            jax.tree_util.tree_leaves_with_path(ref)):
+        assert a.shape == b.shape, (pa, a.shape, b.shape)
+
+
+def test_hunyuan_loader_forward_runs():
+    """Loaded weights drive a full forward (conv-as-linear patchify map
+    and identity txt_in included)."""
+    from chipmunk_tpu.config import config_from_dict
+    from chipmunk_tpu.models.hunyuan import HunyuanModelConfig, HunyuanModel
+    from chipmunk_tpu.models.loaders import load_hunyuan_params
+    from chipmunk_tpu.models.flux import FluxStep
+    cfg = HunyuanModelConfig(latent_t=2, latent_h=8, latent_w=8,
+                             hidden_size=128, num_heads=2, depth_double=1,
+                             depth_single=1, axes_dim=(16, 24, 24),
+                             txt_len=128, dtype=jnp.float32)
+    params = load_hunyuan_params(
+        synth_hunyuan_state_dict(cfg, np.random.default_rng(1)), cfg)
+    ck = config_from_dict({'attn': {'is_enabled': False},
+                           'mlp': {'is_enabled': False}})
+    m = HunyuanModel(cfg=cfg, ck=ck, use_kernels=False)
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    lat = jax.random.normal(ks[0], (1, cfg.in_channels, 2, 8, 8),
+                            jnp.float32)
+    txt = jax.random.normal(ks[1], (1, cfg.txt_len, cfg.text_dim),
+                            jnp.float32)
+    y = jax.random.normal(ks[2], (1, cfg.vec_in_dim), jnp.float32)
+    step = FluxStep(index=0, full_attn=True, full_mlp=True, colsum=False,
+                    recompute_mlp_mask=False)
+    out, _ = m.forward(params, lat, txt, jnp.full((1,), 0.5), y,
+                       m.init_state(1), step,
+                       guidance=jnp.full((1,), 4.0))
+    assert out.shape == lat.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def synth_wan_state_dict(cfg, rng):
+    """Reference wan/modules/model.py:392-496 key layout."""
+    d, f = cfg.dim, cfg.ffn_dim
+    pt, ph, pw = cfg.patch_size
+    sd = {}
+
+    def lin(name, din, dout):
+        sd[f'{name}.weight'] = rng.standard_normal((dout, din)).astype(
+            np.float32) * 0.02
+        sd[f'{name}.bias'] = rng.standard_normal((dout,)).astype(
+            np.float32) * 0.02
+
+    sd['patch_embedding.weight'] = rng.standard_normal(
+        (d, cfg.in_channels, pt, ph, pw)).astype(np.float32) * 0.02
+    sd['patch_embedding.bias'] = np.zeros((d,), np.float32)
+    lin('text_embedding.0', cfg.text_dim, d)
+    lin('text_embedding.2', d, d)
+    lin('time_embedding.0', cfg.freq_dim, d)
+    lin('time_embedding.2', d, d)
+    lin('time_projection.1', d, 6 * d)
+    for i in range(cfg.num_layers):
+        p = f'blocks.{i}'
+        sd[f'{p}.modulation'] = rng.standard_normal((1, 6, d)).astype(
+            np.float32) * 0.02
+        for n in ('q', 'k', 'v', 'o'):
+            lin(f'{p}.self_attn.{n}', d, d)
+            lin(f'{p}.cross_attn.{n}', d, d)
+        for at in ('self_attn', 'cross_attn'):
+            sd[f'{p}.{at}.norm_q.weight'] = np.ones((d,), np.float32)
+            sd[f'{p}.{at}.norm_k.weight'] = np.ones((d,), np.float32)
+        sd[f'{p}.norm3.weight'] = np.ones((d,), np.float32)
+        sd[f'{p}.norm3.bias'] = np.zeros((d,), np.float32)
+        lin(f'{p}.ffn.0', d, f)
+        lin(f'{p}.ffn.2', f, d)
+    sd['head.modulation'] = rng.standard_normal((1, 2, d)).astype(
+        np.float32) * 0.02
+    lin('head.head', d, pt * ph * pw * cfg.in_channels)
+    return sd
+
+
+def test_wan_loader_tree_matches_init():
+    from chipmunk_tpu.models.wan import WanModelConfig, init_wan_params
+    from chipmunk_tpu.models.loaders import load_wan_params
+    cfg = WanModelConfig(latent_t=2, latent_h=8, latent_w=8, dim=128,
+                         ffn_dim=256, num_heads=2, num_layers=2,
+                         axes_dim=(22, 21, 21), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    loaded = load_wan_params(synth_wan_state_dict(cfg, rng), cfg)
+    ref = init_wan_params(jax.random.PRNGKey(0), cfg)
+    assert (jax.tree_util.tree_structure(loaded)
+            == jax.tree_util.tree_structure(ref))
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(loaded),
+            jax.tree_util.tree_leaves_with_path(ref)):
+        assert a.shape == b.shape, (pa, a.shape, b.shape)
