@@ -107,10 +107,10 @@ def _csp_vmem_kernel(inds_ref, counts_ref,        # SMEM
             yield (t < count,
                    pltpu.make_async_copy(
                        k_ref.at[0, pl.ds(start, kv_block), :],
-                       kg_ref.at[slot, dst, :], sems.at[0, slot, t]),
+                       kg_ref.at[slot, dst, :], sems.at[0, slot]),
                    pltpu.make_async_copy(
                        v_ref.at[0, pl.ds(start, kv_block), :],
-                       vg_ref.at[slot, dst, :], sems.at[1, slot, t]))
+                       vg_ref.at[slot, dst, :], sems.at[1, slot]))
 
     def start_group(g, slot):
         for live, kd, vd in group_dmas(g, slot):
@@ -205,10 +205,10 @@ def _csp_hbm_kernel(inds_ref, counts_ref,         # SMEM
             yield (t < count,
                    pltpu.make_async_copy(k_hbm.at[b, srcs, :],
                                          kg_ref.at[slot, dsts, :],
-                                         ksem.at[slot, t]),
+                                         ksem.at[slot]),
                    pltpu.make_async_copy(v_hbm.at[b, srcs, :],
                                          vg_ref.at[slot, dsts, :],
-                                         vsem.at[slot, t]))
+                                         vsem.at[slot]))
 
     def start_group(g, slot):
         q_dma(g, slot).start()
@@ -343,7 +343,10 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             scratch_shapes=[
                 pltpu.VMEM((2, jmax * kv_block, D), k.dtype),
                 pltpu.VMEM((2, jmax * kv_block, D), v.dtype),
-                pltpu.SemaphoreType.DMA((2, 2, jmax)),
+                # one DMA semaphore per (k/v, slot), shared by the jmax
+                # gather copies: per-copy semaphore arrays blow the 2KB
+                # sflag budget at video jmax (wan jmax=160 -> 2.6KB)
+                pltpu.SemaphoreType.DMA((2, 2)),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=VMEM_LIMIT),
@@ -371,8 +374,8 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                 pltpu.VMEM((2, jmax * kv_block, D), v.dtype),
                 pltpu.VMEM((2, qg, D), q.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2, jmax)),
-                pltpu.SemaphoreType.DMA((2, jmax)),
+                pltpu.SemaphoreType.DMA((2,)),   # shared by jmax k-gathers
+                pltpu.SemaphoreType.DMA((2,)),   # shared by jmax v-gathers
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             compiler_params=pltpu.CompilerParams(

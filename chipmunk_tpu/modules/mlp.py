@@ -136,8 +136,8 @@ class SparseDiffMlp:
             mask = mask | jax.random.bernoulli(key, self.cfg.random_keys,
                                                mask.shape)
         mult_b = max(self.cfg.counts_multiple_of // self.cfg.neuron_block, 1)
-        inds, counts = indexing.mask_to_indices(mask, mult_b)
-        inds = inds[..., :self.jmax]
+        inds, counts = indexing.mask_to_indices_limited(mask, mult_b,
+                                                        self.jmax)
         counts = jnp.clip(counts, 1, self.jmax)
         # refresh bm_mid ONLY at neurons that survive the jmax truncation
         # (reference copy_indices, mlp.py:82-85).  Refreshing a block the

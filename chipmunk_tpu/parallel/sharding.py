@@ -34,3 +34,44 @@ def fsdp_shardings(params, mesh: Mesh, axis: str = 'sp'):
 
 def shard_params(params, mesh: Mesh, axis: str = 'sp'):
     return jax.device_put(params, fsdp_shardings(params, mesh, axis))
+
+
+def chipmunk_state_shardings(state, mesh: Mesh, sp: str = 'sp',
+                             dp: str = None):
+    """NamedShardings for a stacked FluxState (leaves [L, ...]):
+    attention caches shard over heads on ``sp`` ([L, B, H, ...] — the
+    reference's invariant that sparsity state is per-local-head,
+    SURVEY.md §3.4), MLP caches shard over token blocks on ``sp``
+    ([L, T, ...]), batch (CFG cond/uncond) over ``dp``; placeholder
+    leaves replicate."""
+    n_sp = mesh.shape[sp]
+    n_dp = mesh.shape[dp] if dp else 1
+
+    def spec(path, x):
+        name = '/'.join(str(p) for p in path)
+        if x.ndim >= 3 and 'attn' in name and x.shape[2] % n_sp == 0:
+            b = dp if (dp and x.shape[1] % n_dp == 0) else None
+            return NamedSharding(mesh, P(None, b, sp))
+        if x.ndim >= 2 and x.shape[1] % n_sp == 0:
+            return NamedSharding(mesh, P(None, sp))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec, state)
+
+
+def place_flux_inputs(mesh: Mesh, params, img, txt, y, state,
+                      sp: str = 'sp', dp: str = None, fsdp: bool = False):
+    """Device-put a full FLUX denoise input set onto the mesh: params
+    replicated (or FSDP-sharded over ``sp``), batch tensors on ``dp``,
+    chipmunk state per chipmunk_state_shardings.  Returns the placed
+    (params, img, txt, y, state)."""
+    repl = NamedSharding(mesh, P())
+    batch = NamedSharding(mesh, P(dp)) if dp else repl
+    params = (shard_params(params, mesh, sp) if fsdp
+              else jax.device_put(params, repl))
+    img = jax.device_put(img, batch)
+    txt = jax.device_put(txt, batch)
+    y = jax.device_put(y, batch)
+    state = jax.device_put(state,
+                           chipmunk_state_shardings(state, mesh, sp, dp))
+    return params, img, txt, y, state

@@ -217,3 +217,21 @@ def test_static_mask_with_text():
     assert (((counts % 128) == 0) | (counts == S)).all()
     # text rows attend to nearly everything (last kv-aligned columns)
     assert mask[-1, -((S // 128) * 128):].all()
+
+
+def test_mask_to_indices_limited_matches_full():
+    """Binary-search compaction == argsort compaction on the consumed
+    [..., :jmax] prefix, across densities incl. all/none selected."""
+    from chipmunk_tpu.ops.indexing import (mask_to_indices,
+                                           mask_to_indices_limited)
+    rng = np.random.default_rng(5)
+    for p in (0.0, 0.03, 0.3, 0.97, 1.0):
+        mask = jnp.asarray(rng.random((3, 7, 93)) < p)
+        for mult in (1, 4):
+            jmax = 24
+            i_full, c_full = mask_to_indices(mask, mult)
+            i_lim, c_lim = mask_to_indices_limited(mask, mult, jmax)
+            np.testing.assert_array_equal(np.asarray(c_lim),
+                                          np.asarray(c_full))
+            np.testing.assert_array_equal(np.asarray(i_lim),
+                                          np.asarray(i_full)[..., :jmax])

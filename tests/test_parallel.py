@@ -181,3 +181,59 @@ def test_initialize_multihost_single_process():
                        cwd=os.path.dirname(os.path.dirname(
                            os.path.abspath(__file__))))
     assert 'MULTIHOST_OK' in r.stdout, (r.stdout, r.stderr[-2000:])
+
+
+def test_sharded_sampler_matches_single_device():
+    """FluxSampler.sharded(mesh, sp, dp): the user-facing multi-device
+    denoise must match the single-device result (Ulysses attention +
+    dp CFG batch + sharded chipmunk state end-to-end)."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from chipmunk_tpu.config import config_from_dict
+    from chipmunk_tpu.models import (FluxModelConfig, init_flux_params,
+                                     FluxSparse)
+    from chipmunk_tpu.models.sampling import FluxSampler, get_schedule
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ('dp', 'sp'))
+    heads = 8
+    model = FluxModelConfig(
+        in_channels=16, vec_in_dim=32, context_in_dim=32,
+        hidden_size=64 * heads, num_heads=heads, mlp_ratio=2.0, depth=2,
+        depth_single_blocks=2, axes_dim=(16, 24, 24), guidance_embed=False,
+        txt_len=128, dtype=jnp.float32)
+    h_img, w_img = 16, 16
+    seq = model.txt_len + h_img * w_img
+    ck = config_from_dict({
+        'steps': 4,
+        'attn': {'top_keys': 0.4, 'kv_block': 32, 'counts_multiple_of': 32,
+                 'first_n_dense_layers': 1,
+                 'should_compress_indices': False, 'random_keys': 0.0},
+        'mlp': {'top_keys': 0.5, 'neuron_block': 32,
+                'counts_multiple_of': 32, 'first_n_dense_layers': 1,
+                'random_keys': 0.0},
+        'patchify': {'chunk_size_1': 4, 'chunk_size_2': 2},
+        'step_caching': {'is_enabled': False},
+    })
+    B = 2
+    params = init_flux_params(jax.random.PRNGKey(0), model)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    img = jax.random.normal(ks[0], (B, h_img * w_img, 16), jnp.float32)
+    txt = jax.random.normal(ks[1], (B, model.txt_len, 32), jnp.float32)
+    y = jax.random.normal(ks[2], (B, 32), jnp.float32)
+    ts = get_schedule(4, h_img * w_img)
+
+    def build(sharded):
+        sp = FluxSparse.build(ck, model, seq, batch=B, use_kernels=False)
+        s = FluxSampler(cfg=model, ck=ck, sp=sp, h_img=h_img, w_img=w_img)
+        return s.sharded(mesh, sp='sp', dp='dp') if sharded else s
+
+    out1 = build(False).denoise(params, img, txt, y, ts,
+                                key=jax.random.PRNGKey(3))
+    out8 = build(True).denoise(params, img, txt, y, ts,
+                               key=jax.random.PRNGKey(3))
+    # random-mask keys are decorrelated per head shard, so selections
+    # differ -> compare loosely; the dense layers and full steps dominate
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out1),
+                               atol=5e-2, rtol=5e-2)
