@@ -58,9 +58,12 @@ def _build(depth, depth_single, quantize):
                                               QuantSpec)
         # int8 (not fp8) for the kernel-gathered MLP weights: Mosaic's
         # fp8->bf16 convert is slow (7.1 vs 2.1 ms per layer measured);
-        # int8 converts are ~free
+        # int8 converts are ~free.  CHIPMUNK_ATTN_QUANT=int8 trades
+        # ~2.6GiB of residency headroom for the int4-attn quality delta
+        # QUALITY.md documents (isolated cosine 0.982 -> ~0.9995)
+        aq = os.environ.get('CHIPMUNK_ATTN_QUANT', 'int4')
         params = synth_quantized_flux_params(
-            0, model, QuantSpec(attn='int4', mod='int4',
+            0, model, QuantSpec(attn=aq, mod=aq,
                                 mlp_sparse='int8', mlp_dense='int4'))
     else:
         params = init_flux_params(jax.random.PRNGKey(0), model)

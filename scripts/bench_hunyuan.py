@@ -43,6 +43,7 @@ SCALES = {
     'xl':      ((17, 90, 156),    (2, 4),    False),
     'video':   ((33, 90, 160),    (2, 4),    False),
     'full30k': ((9, 100, 132),    (20, 40),  True),
+    'full18k': ((9, 80, 104),     (20, 40),  True),
 }
 # '<scale>-streamed' runs the sparse side through the host-offload
 # streamed runner (make_streamed honoring the shipped offloading block) so
@@ -53,7 +54,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_one(name, steps=50, trials=1):
+def bench_one(name, steps=50, trials=1, side='both'):
     streamed_mode = name.endswith('-streamed')
     base = name[:-len('-streamed')] if streamed_mode else name
     (lt, lh, lw), (dd, ds), quant = SCALES[base]
@@ -118,15 +119,25 @@ def bench_one(name, steps=50, trials=1):
             best = min(best, dt)
         return best
 
-    t_d = run(dense_ck, 'dense')
-    t_s = run(sparse_ck, 'sparse-streamed' if streamed_mode else 'sparse',
-              use_streamed=streamed_mode)
-    log(f"[{name}] dense {t_d:.2f}s sparse {t_s:.2f}s "
-        f"-> {t_d/t_s:.3f}x")
-    return {"scale": name, "seq": cfg.seq_len, "depth": f"{dd}+{ds}",
-            "quantized": quant, "streamed": streamed_mode,
-            "dense_s": round(t_d, 2),
-            "sparse_s": round(t_s, 2), "speedup": round(t_d / t_s, 3)}
+    # --side dense|sparse runs one side per process: full-depth footprints
+    # only fit when each side gets a fresh device heap (the tunnel pins
+    # prior programs' argument buffers — memory notes / quantize_host doc)
+    t_d = run(dense_ck, 'dense') if side in ('both', 'dense') else None
+    t_s = (run(sparse_ck,
+               'sparse-streamed' if streamed_mode else 'sparse',
+               use_streamed=streamed_mode)
+           if side in ('both', 'sparse') else None)
+    row = {"scale": name, "seq": cfg.seq_len, "depth": f"{dd}+{ds}",
+           "quantized": quant, "streamed": streamed_mode}
+    if t_d is not None:
+        row["dense_s"] = round(t_d, 2)
+    if t_s is not None:
+        row["sparse_s"] = round(t_s, 2)
+    if t_d is not None and t_s is not None:
+        log(f"[{name}] dense {t_d:.2f}s sparse {t_s:.2f}s "
+            f"-> {t_d/t_s:.3f}x")
+        row["speedup"] = round(t_d / t_s, 3)
+    return row
 
 
 def main():
@@ -136,11 +147,13 @@ def main():
                     default=os.environ.get('CHIPMUNK_HY_SCALE', 'small'))
     ap.add_argument('--steps', type=int, default=50)
     ap.add_argument('--trials', type=int, default=1)
+    ap.add_argument('--side', default='both',
+                    choices=['both', 'dense', 'sparse'])
     args = ap.parse_args()
     rows = []
     for name in args.scale.split(','):
         rows.append(bench_one(name.strip(), steps=args.steps,
-                              trials=args.trials))
+                              trials=args.trials, side=args.side))
     print(json.dumps({"metric": "hunyuan_e2e_speedup_curve",
                       "reference_baseline":
                           "HunyuanVideo e2e 3.72x (README.md:87)",

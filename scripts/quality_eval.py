@@ -150,8 +150,11 @@ def run_flux_full(args):
     d, ds = 19, 38
     model = FluxModelConfig(depth=d, depth_single_blocks=ds,
                             guidance_embed=True, dtype=dtype)
+    # --attn-quant int8: int4 attn weights are the largest isolated
+    # deviation source (QUALITY.md 4+8 table); int8 costs ~2.6GiB more
+    # residency — measure whether it fits + what it buys
     params = synth_quantized_flux_params(
-        0, model, QuantSpec(attn='int4', mod='int4',
+        0, model, QuantSpec(attn=args.attn_quant, mod=args.attn_quant,
                             mlp_sparse='int8', mlp_dense='int4'))
     h_img, w_img = 48, 80
     seq = model.txt_len + h_img * w_img
@@ -274,6 +277,9 @@ if __name__ == '__main__':
                     choices=['flux', 'flux-full', 'hunyuan'])
     ap.add_argument('--steps', type=int, default=50)
     ap.add_argument('--depth', type=int, nargs=2, default=[4, 8])
+    ap.add_argument('--attn-quant', default='int4',
+                    choices=['int4', 'int8'],
+                    help='flux-full attn/mod weight storage')
     args = ap.parse_args()
     if args.model == 'flux':
         run_flux(args)
