@@ -93,6 +93,17 @@ class AttnConfig:
     kv_block: int = 128
     # TPU-only: cap on selected KV fraction (static shapes); 1.0 = no cap
     max_selected_frac: float = 0.5
+    # TPU-only cost gate: when the per-group selection capacity (jmax)
+    # reaches this fraction of the KV blocks, column-sparse delta
+    # attention cannot beat dense on TPU (measured at Wan's operating
+    # point, S=32k/59% selection: csp 65ms HBM / 44ms VMEM vs 44ms dense
+    # — gather duplication + delta-cache IO eat the FLOP ratio), so the
+    # layer falls back to exact dense attention every step.  The
+    # reference's per-group gate (modules/attn.py:67) only fires when
+    # static+topk covers the ENTIRE sequence; on H100 its L2-backed
+    # gathers tolerate dense-ish selections, TPU DMA gathers do not.
+    # 1.0 disables the gate.
+    dense_fallback_frac: float = 0.45
     # TPU-only: storage dtype for the [B,H,S,D] attention output cache.
     # None = model dtype.
     out_cache_dtype: Optional[str] = None

@@ -47,8 +47,10 @@ from ..ops.attn_ref import attn_scale
 NEG_INF = -1.0e30
 MAX_KV_BLOCK = 128   # gather granule upper bound (one MXU tile)
 # Raise Mosaic's scoped-vmem cap (default 16MB; v5e has 128MB VMEM) —
-# the resident mode stages whole K/V heads plus gather scratch
-VMEM_LIMIT = 64 * 1024 * 1024
+# the resident mode stages whole K/V heads plus gather scratch.  100MB
+# keeps S=32k (Wan-scale) heads VMEM-resident: measured 43.7ms vs 65ms
+# for the HBM-gather mode at 59% selection (round 3)
+VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def pad_block_indices(inds: jnp.ndarray, counts: jnp.ndarray) -> jnp.ndarray:

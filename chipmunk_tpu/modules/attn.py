@@ -98,6 +98,11 @@ class SparseDiffAttn:
     # dense flash every sparse step.  None = no tail (all groups sparse,
     # or the non-sparse set is not a contiguous suffix).
     dense_tail_g: Optional[int] = None
+    # TPU cost gate (cfg.dense_fallback_frac): selection capacity too
+    # dense for csp to beat dense attention -> the layer runs exact dense
+    # every step with no delta caches (e.g. Wan's local_voxels=5 static
+    # mask selects ~59% of KV blocks; measured break-even is ~0.45)
+    fully_dense: bool = False
 
     @staticmethod
     def build(cfg: AttnConfig, seq_len: int,
@@ -158,11 +163,18 @@ class SparseDiffAttn:
         jmax = min(-(-jmax // mult_b) * mult_b, nb)
         if valid_len is not None and valid_len >= seq_len:
             valid_len = None
+        # TPU cost gate: if the sparse rows' gather capacity is a large
+        # fraction of the KV blocks, csp gather duplication + delta-cache
+        # IO cost more than dense attention (microbenched at S=32k/59%:
+        # csp 65ms hbm / 44ms vmem vs dense 44ms) -> run the layer dense.
+        fully_dense = (cfg.dense_fallback_frac < 1.0
+                       and jmax >= nb * cfg.dense_fallback_frac)
         return SparseDiffAttn(cfg=cfg, seq_len=seq_len, jmax=jmax,
                               sel_blocks=sel_blocks, static_mask=static_mask,
                               sparse_query_groups=sparse_qg,
                               use_kernels=use_kernels, interpret=interpret,
-                              valid_len=valid_len, dense_tail_g=dense_tail_g)
+                              valid_len=valid_len, dense_tail_g=dense_tail_g,
+                              fully_dense=fully_dense)
 
     # ---------------------------------------------------------------- ops
     def _fix_pad_lse(self, lse):
@@ -333,7 +345,7 @@ class SparseDiffAttn:
                  ) -> Tuple[jnp.ndarray, AttnState]:
         """One attention call with trace-time step flags (the reference
         resolves these via the LayerCounter singleton, attn.py:192-200)."""
-        if not self.cfg.is_enabled or layer_is_dense:
+        if not self.cfg.is_enabled or layer_is_dense or self.fully_dense:
             return self.dense_step(q, k, v), state
         if is_full:
             if step_index == 0:
@@ -346,7 +358,7 @@ class SparseDiffAttn:
 
     def init_state(self, B: int, H: int, D: int,
                    dtype=jnp.bfloat16) -> AttnState:
-        if not self.cfg.is_enabled:
+        if not self.cfg.is_enabled or self.fully_dense:
             return AttnState(out_cache=jnp.zeros((1, 1, 1, 1), dtype),
                              lse=jnp.zeros((1, 1, 1), jnp.float32),
                              inds=jnp.zeros((1, 1, 1, 1), jnp.int32),

@@ -271,10 +271,63 @@ def run_hunyuan(args):
               f"\t({time.perf_counter()-t0:.0f}s)", flush=True)
 
 
+# ------------------------------------------------------------------- Wan
+
+def run_wan(args):
+    """Wan2.1 operating point (configs/wan-chipmunk.yml: attention-only
+    top_keys=0.1, local_voxels=5, recompute_mask, CFG dual-invocation =
+    2 model invocations/step with separate cond/uncond cache states) at
+    reduced depth/grid; dense reference under the identical CFG loop."""
+    from chipmunk_tpu.config import load_config
+    from chipmunk_tpu.models.wan import (WanModelConfig, WanModel,
+                                         init_wan_params)
+    from chipmunk_tpu.models.video_sampling import wan_denoise
+    from chipmunk_tpu.models.sampling import get_schedule
+    on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    cfg = WanModelConfig(latent_t=9, latent_h=30, latent_w=52,
+                         num_layers=args.depth[0] + args.depth[1],
+                         dtype=dtype)
+    params = init_wan_params(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    lat = jax.random.normal(ks[0], (1, cfg.in_channels, cfg.latent_t,
+                                    cfg.latent_h, cfg.latent_w), dtype)
+    ctx_c = jax.random.normal(ks[1], (1, cfg.txt_len, cfg.text_dim), dtype)
+    ctx_u = jax.random.normal(ks[2], (1, cfg.txt_len, cfg.text_dim), dtype)
+    ts = get_schedule(args.steps, cfg.seq_len, shift=False)
+
+    def denoise(ck):
+        m = WanModel(cfg=cfg, ck=ck, use_kernels=on_tpu)
+        out = wan_denoise(m, params, lat, ctx_c, ctx_u, ts,
+                          key=jax.random.PRNGKey(7))
+        return np.asarray(out.astype(jnp.float32))
+
+    dense_ck = config_from_dict({
+        'steps': args.steps,
+        'num_model_invocations_per_inference_step': 2,
+        'attn': {'is_enabled': False}, 'mlp': {'is_enabled': False},
+        'step_caching': {'is_enabled': False}})
+    ref = denoise(dense_ck)
+    ship = load_config('configs/wan-chipmunk.yml').replace(steps=args.steps)
+    ablations = {
+        'wan-shipped': {},
+        'top_keys=0.05': {'attn': {'top_keys': 0.05}},
+        'local_voxels=3': {'attn': {'local_voxels': 3}},
+    }
+    print("name\tcosine\tpsnr_db\trel_l2", flush=True)
+    for name, extra in ablations.items():
+        ck = config_from_dict(extra, ship) if extra else ship
+        t0 = time.perf_counter()
+        out = denoise(ck)
+        cos, psnr, rel = metrics(out, ref)
+        print(f"{name}\t{cos:.5f}\t{psnr:.1f}\t{rel:.4f}"
+              f"\t({time.perf_counter()-t0:.0f}s)", flush=True)
+
+
 if __name__ == '__main__':
     ap = argparse.ArgumentParser()
     ap.add_argument('--model', default='flux',
-                    choices=['flux', 'flux-full', 'hunyuan'])
+                    choices=['flux', 'flux-full', 'hunyuan', 'wan'])
     ap.add_argument('--steps', type=int, default=50)
     ap.add_argument('--depth', type=int, nargs=2, default=[4, 8])
     ap.add_argument('--attn-quant', default='int4',
@@ -285,5 +338,7 @@ if __name__ == '__main__':
         run_flux(args)
     elif args.model == 'flux-full':
         run_flux_full(args)
+    elif args.model == 'wan':
+        run_wan(args)
     else:
         run_hunyuan(args)

@@ -270,3 +270,36 @@ def test_attn_dense_tail_exact_for_text_groups():
     np.testing.assert_allclose(
         np.asarray(o_sp[..., -128:, :]), np.asarray(o_dense[..., -128:, :]),
         atol=1e-5, rtol=1e-5)
+
+
+def test_attn_dense_fallback_cost_gate():
+    """TPU cost gate: a selection capacity >= dense_fallback_frac of the
+    KV blocks flips the layer to exact dense attention every step (Wan's
+    local_voxels=5 static mask selects ~59% of blocks; measured on-chip
+    that csp cannot beat dense there)."""
+    from chipmunk_tpu.ops.attn_ref import dense_attn_ref
+    cfg = AttnConfig(top_keys=0.6, kv_block=32, counts_multiple_of=32,
+                     random_keys=0.0, max_selected_frac=1.0)
+    mod = SparseDiffAttn.build(cfg, 512, use_kernels=False)
+    assert mod.fully_dense
+    B, H, S, D = 1, 2, 512, 64
+    ks = jax.random.split(KEY, 3)
+    q, k, v = (jax.random.normal(kk, (B, H, S, D)) for kk in ks)
+    st = mod.init_state(B, H, D, jnp.float32)
+    # tiny (1,1,1,1)-shaped state: no caches carried
+    assert st.out_cache.shape == (1, 1, 1, 1)
+    o_ref, _ = dense_attn_ref(q, k, v)
+    for i, (full, colsum) in enumerate([(True, False), (True, True),
+                                        (False, False)]):
+        o, st = mod(q, k, v, st, step_index=i, is_full=full,
+                    is_colsum=colsum, layer_is_dense=False,
+                    key=jax.random.PRNGKey(i))
+        np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                                   rtol=2e-5, atol=2e-5)
+    # gate off -> sparse machinery engaged (real state shapes)
+    mod2 = SparseDiffAttn.build(
+        AttnConfig(top_keys=0.6, kv_block=32, counts_multiple_of=32,
+                   random_keys=0.0, max_selected_frac=1.0,
+                   dense_fallback_frac=1.0), 512, use_kernels=False)
+    assert not mod2.fully_dense
+    assert mod2.init_state(B, H, D, jnp.float32).out_cache.shape[-2] == 512
