@@ -79,23 +79,6 @@ def mask_to_indices(mask: jnp.ndarray, multiple_of: int,
     return inds.astype(jnp.int32), counts
 
 
-def _searchsorted_last(a: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-    """Batched searchsorted (side='left') along the last axis: smallest i
-    with a[..., i] >= t[..., j].  a nondecreasing.  Vectorized binary
-    search — log2(n) take_along_axis gathers instead of a sort."""
-    n = a.shape[-1]
-    lo = jnp.zeros(t.shape, jnp.int32)
-    hi = jnp.full(t.shape, n, jnp.int32)
-    # search interval is [0, n] (n+1 states) -> n.bit_length() halvings
-    for _ in range(max(1, n.bit_length())):
-        mid = (lo + hi) // 2
-        av = jnp.take_along_axis(a, jnp.minimum(mid, n - 1), axis=-1)
-        right = av < t
-        lo = jnp.where(right, mid + 1, lo)
-        hi = jnp.where(right, hi, mid)
-    return hi
-
-
 def mask_to_indices_limited(mask: jnp.ndarray, multiple_of: int, jmax: int
                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """``mask_to_indices`` producing only the first ``jmax`` index slots —
@@ -103,30 +86,30 @@ def mask_to_indices_limited(mask: jnp.ndarray, multiple_of: int, jmax: int
 
     The full version argsorts the whole [..., n] row per call; at video
     scale the compressed-index rebuild runs it per layer per consuming
-    step over [B,H,G=930,NB=930] (VERDICT r2 weak #7).  Here slot j is
-    found directly by binary search over the mask cumsum: the j-th
-    selected column is the smallest i with cumsum(mask)[i] == j+1, and
-    round-up padding slots take the (j-nsel)-th UNselected column (same
-    padding contract as mask_to_indices / the reference CUDA kernel,
-    csrc/indexed_io/mask_to_indices.cu:44-87).  O(jmax log n) gathers
-    instead of O(n log^2 n) sort.
+    step over [B,H,G=930,NB=930] (VERDICT r2 weak #7).  The combined key
+    ``i + n*(1-mask[i])`` orders selected columns first (ascending) then
+    unselected columns (ascending) — exactly mask_to_indices' layout
+    (reference contract csrc/indexed_io/mask_to_indices.cu:44-87) — so
+    the first jmax slots are ``lax.top_k`` of the negated key.
+
+    Measured on v5e at the [1,24,930,930] video shape (jmax=96): argsort
+    9.40ms, top_k 9.39ms (XLA lowers k=96 top_k to a sort), a
+    binary-search-over-cumsum variant 567ms (per-element
+    ``take_along_axis`` on the minor axis lowers to scalar gathers — the
+    O(jmax log n) theory loses to the O(n log n) sort by 60x on TPU).
+    The rebuild is ~2% of the video-scale e2e step; top_k form kept for
+    its smaller [.., jmax] output (less downstream traffic).
     """
     n = mask.shape[-1]
     jmax = min(jmax, n)
     mi = mask.astype(jnp.int32)
-    nsel = mi.sum(axis=-1, keepdims=True)                      # [..., 1]
-    counts = ((nsel[..., 0] + multiple_of - 1)
-              // multiple_of) * multiple_of
+    nsel = mi.sum(axis=-1)
+    counts = ((nsel + multiple_of - 1) // multiple_of) * multiple_of
     counts = jnp.minimum(counts, n).astype(jnp.int32)
-    cs = jnp.cumsum(mi, axis=-1)
-    cu = jnp.cumsum(1 - mi, axis=-1)
-    j = jnp.arange(jmax, dtype=jnp.int32)
-    j = jnp.broadcast_to(j, mask.shape[:-1] + (jmax,))
-    sel = _searchsorted_last(cs, j + 1)
-    # padding slots: the (j - nsel)-th unselected column id
-    unsel = _searchsorted_last(cu, jnp.maximum(j + 1 - nsel, 1))
-    inds = jnp.where(j < nsel, sel, unsel)
-    return jnp.minimum(inds, n - 1).astype(jnp.int32), counts
+    iota = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(mask, iota, iota + n)
+    neg, _ = jax.lax.top_k(-key, jmax)
+    return (-neg % n).astype(jnp.int32), counts
 
 
 def blockify_scores(scores: jnp.ndarray, block: int) -> jnp.ndarray:
