@@ -54,12 +54,14 @@ def _host_flags(policy: OffloadPolicy):
 
 def _placed(tree, policy: OffloadPolicy, to_host: bool):
     """Move policy-selected leaves of an (AttnState, MlpState) chunk
-    host-side (or back)."""
+    host-side (or back) with ONE batched device_put call — per-leaf
+    dispatches are RPC round trips on tunneled backends."""
+    from ..utils.offload import host_sharding, device_sharding
     flags = _host_flags(policy)
-    return jax.tree_util.tree_map(
-        lambda x, f: ((offload_to_host(x) if to_host
-                       else fetch_to_device(x)) if f else x),
-        tree, flags)
+    shardings = jax.tree_util.tree_map(
+        lambda x, f: (host_sharding(x) if (to_host and f)
+                      else device_sharding(x)), tree, flags)
+    return jax.device_put(tree, shardings)
 
 
 def _chunk(tree, n: int) -> List:
@@ -114,9 +116,21 @@ class StreamedFluxRunner:
     n_chunks_double: int = 1
     n_chunks_single: int = 2
     prefetch_depth: int = 2
+    # chunks [0, resident_chunks) of each stage stay device-resident
+    # across steps: their (re)fetch + writeback round trip is pure
+    # latency on the critical path at every step, and keeping one chunk
+    # on device costs only 1/n of the cache footprint.
+    resident_chunks: int = 1
     _progs: Dict = field(default_factory=dict)
+    _idx0: Dict = field(default_factory=dict)
+    _window: Dict = field(default_factory=dict)
 
     def _prog(self, stage: str, step: FluxStep):
+        """Per-(stage, step-kind) jitted layer-chunk program.  The FULL
+        stacked params are passed in and per-layer params are gathered
+        in-program with dynamic_index (``_tree_at``) — chunking the param
+        pytree host-side would dispatch O(leaves x chunks) slice programs
+        per denoise step and duplicate the whole param footprint."""
         sig = (stage, step.full_attn, step.full_mlp, step.colsum,
                step.recompute_mlp_mask, min(step.index, 2))
         if sig in self._progs:
@@ -124,16 +138,16 @@ class StreamedFluxRunner:
         cfg, sp = self.cfg, self.sp
 
         if stage == 'double':
-            def prog(p_chunk, img, txt, vec, cos, sin, st_chunk, idx0, key,
+            def prog(p_stack, img, txt, vec, cos, sin, st_chunk, idx0, key,
                      _step=step):
                 attn, mlp = st_chunk
 
-                def body(carry, xs):
+                def body(carry, i):
                     img, txt, attn, mlp = carry
-                    p, i = xs
                     idx = idx0 + i
                     img, txt, a2, m2 = double_block(
-                        cfg, sp, p, img, txt, vec, cos, sin,
+                        cfg, sp, _tree_at(p_stack, idx), img, txt, vec,
+                        cos, sin,
                         _tree_at(attn, i), _tree_at(mlp, i), idx, _step,
                         jax.random.fold_in(key, idx))
                     return (img, txt, _tree_put(attn, a2, i),
@@ -141,21 +155,19 @@ class StreamedFluxRunner:
 
                 n = jax.tree_util.tree_leaves(attn)[0].shape[0]
                 (img, txt, attn, mlp), _ = jax.lax.scan(
-                    body, (img, txt, attn, mlp),
-                    (p_chunk, jnp.arange(n)))
+                    body, (img, txt, attn, mlp), jnp.arange(n))
                 return img, txt, (attn, mlp)
             jp = jax.jit(prog, donate_argnums=(6,))
         else:
-            def prog(p_chunk, x, vec, cos, sin, st_chunk, idx0, key,
+            def prog(p_stack, x, vec, cos, sin, st_chunk, idx0, key,
                      _step=step):
                 attn, mlp = st_chunk
 
-                def body(carry, xs):
+                def body(carry, i):
                     x, attn, mlp = carry
-                    p, i = xs
                     idx = idx0 + i
                     x, a2, m2 = single_block(
-                        cfg, sp, p, x, vec, cos, sin,
+                        cfg, sp, _tree_at(p_stack, idx), x, vec, cos, sin,
                         _tree_at(attn, i), _tree_at(mlp, i), idx, _step,
                         jax.random.fold_in(key, idx))
                     return (x, _tree_put(attn, a2, i),
@@ -163,11 +175,16 @@ class StreamedFluxRunner:
 
                 n = jax.tree_util.tree_leaves(attn)[0].shape[0]
                 (x, attn, mlp), _ = jax.lax.scan(
-                    body, (x, attn, mlp), (p_chunk, jnp.arange(n)))
+                    body, (x, attn, mlp), jnp.arange(n))
                 return x, (attn, mlp)
             jp = jax.jit(prog, donate_argnums=(5,))
         self._progs[sig] = jp
         return jp
+
+    def _idx_const(self, v: int):
+        if v not in self._idx0:
+            self._idx0[v] = jnp.int32(v)
+        return self._idx0[v]
 
     def forward(self, params: Dict, st: StreamedFluxState,
                 img, txt, timesteps, y, pe, step: FluxStep,
@@ -186,35 +203,43 @@ class StreamedFluxRunner:
 
         pol = st.policy
 
-        def run_stage(chunks, p_chunks, stage, state_io, kstage):
+        def run_stage(chunks, p_stack, stage, state_io, kstage):
             n = len(chunks)
+            res = min(self.resident_chunks, n - 1) if n > 1 else n
             layers_per = (cfg.depth if stage == 'double'
                           else cfg.depth_single_blocks) // n
             prog = self._prog(stage, step)
-            window = {i: _placed(chunks[i], pol, False)
-                      for i in range(min(self.prefetch_depth, n))}
+            window = self._window.setdefault(stage, {})
+            for j in range(min(self.prefetch_depth, n)):
+                if j not in window:
+                    window[j] = _placed(chunks[j], pol, False)
             for i in range(n):
                 dev_chunk = window.pop(i)
                 nxt = i + self.prefetch_depth - 1
                 if nxt < n and nxt not in window:
                     window[nxt] = _placed(chunks[nxt], pol, False)
-                idx0 = jnp.int32(i * layers_per)
+                idx0 = self._idx_const(i * layers_per)
                 if stage == 'double':
-                    a, b, new_chunk = prog(p_chunks[i], state_io[0],
+                    a, b, new_chunk = prog(p_stack, state_io[0],
                                            state_io[1], vec, cos, sin,
                                            dev_chunk, idx0, kstage)
                     state_io = (a, b)
                 else:
-                    a, new_chunk = prog(p_chunks[i], state_io, vec, cos,
+                    a, new_chunk = prog(p_stack, state_io, vec, cos,
                                         sin, dev_chunk, idx0, kstage)
                     state_io = a
-                chunks[i] = _placed(new_chunk, pol, True)
+                if i < res:
+                    # resident chunk: stays on device; next step's window
+                    # entry is the fresh output — no host round trip.
+                    chunks[i] = new_chunk
+                    window[i] = new_chunk
+                else:
+                    chunks[i] = _placed(new_chunk, pol, True)
             return state_io
 
-        p_dbl = _chunk(params['double'], self.n_chunks_double)
-        p_sgl = _chunk(params['single'], self.n_chunks_single)
-        img, txt = run_stage(st.double, p_dbl, 'double', (img, txt), kd)
+        img, txt = run_stage(st.double, params['double'], 'double',
+                             (img, txt), kd)
         x = (jnp.concatenate([txt, img], axis=1) if cfg.txt_first
              else jnp.concatenate([img, txt], axis=1))
-        x = run_stage(st.single, p_sgl, 'single', x, ks_)
+        x = run_stage(st.single, params['single'], 'single', x, ks_)
         return self._progs['final'](params, cfg, x, vec)
