@@ -300,8 +300,9 @@ class HunyuanModel:
                                     n_chunks_double=n_chunks_double,
                                     n_chunks_single=n_chunks_single)
         policy = OffloadPolicy.from_config(self.ck.offloading)
-        sst = StreamedFluxState.create(self.init_state(B), n_chunks_double,
-                                       n_chunks_single, policy)
+        sst = StreamedFluxState.create_hostwise(
+            self.sp, self.cfg.core(), B, n_chunks_double, n_chunks_single,
+            policy)
         return runner, sst
 
     def prep_tokens(self, params: Dict, latents, txt, t_vec):

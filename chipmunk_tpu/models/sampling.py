@@ -227,9 +227,8 @@ class FluxSampler:
         runner = StreamedFluxRunner(cfg=self.cfg, sp=self.sp,
                                     n_chunks_double=n_chunks_double,
                                     n_chunks_single=n_chunks_single)
-        sst = StreamedFluxState.create(self.sp.init_state(self.cfg, B),
-                                       n_chunks_double, n_chunks_single,
-                                       policy)
+        sst = StreamedFluxState.create_hostwise(
+            self.sp, self.cfg, B, n_chunks_double, n_chunks_single, policy)
         return runner, sst
 
     def denoise_streamed(self, params: Dict, img: jnp.ndarray,

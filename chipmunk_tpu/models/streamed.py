@@ -91,6 +91,42 @@ class StreamedFluxState:
                                n_chunks_single)]
         return StreamedFluxState(double=dbl, single=sgl, policy=policy)
 
+    @staticmethod
+    def create_hostwise(sp, model_cfg, B: int, n_chunks_double: int,
+                        n_chunks_single: int,
+                        policy: OffloadPolicy) -> "StreamedFluxState":
+        """Build the chunked state WITHOUT ever materializing the full
+        device-resident FluxState: a full-depth video model's cache
+        state exceeds HBM — which is the reason streaming exists — so
+        ``create(sp.init_state(...))`` OOMs before the first offload.
+        Each chunk is built from the single-layer init values
+        (broadcast host-side) and placed per policy directly."""
+        import numpy as np
+        from ..utils.offload import host_sharding, device_sharding
+        H, D = model_cfg.num_heads, model_cfg.head_dim
+        flags = _host_flags(policy)
+
+        def build(n_chunks, depth, pair):
+            assert depth % n_chunks == 0, (depth, n_chunks)
+            c = depth // n_chunks
+            pair_np = jax.tree_util.tree_map(np.asarray, pair)
+
+            def mk(x, f):
+                arr = np.broadcast_to(x, (c,) + x.shape)
+                return jax.device_put(
+                    arr, host_sharding(x) if f else device_sharding(x))
+
+            return [jax.tree_util.tree_map(mk, pair_np, flags)
+                    for _ in range(n_chunks)]
+
+        dbl = build(n_chunks_double, model_cfg.depth,
+                    (sp.attn_d.init_state(B, H, D, model_cfg.dtype),
+                     sp.mlp_d.init_state(model_cfg.dtype)))
+        sgl = build(n_chunks_single, model_cfg.depth_single_blocks,
+                    (sp.attn_s.init_state(B, H, D, model_cfg.dtype),
+                     sp.mlp_s.init_state(model_cfg.dtype)))
+        return StreamedFluxState(double=dbl, single=sgl, policy=policy)
+
     def gather(self) -> FluxState:
         """Reassemble a device-resident FluxState (for tests/checkpoints)."""
         def cat(chunks):

@@ -100,8 +100,14 @@ def bench_one(name, steps=50, trials=1, side='both'):
     def run(ck, tag, use_streamed=False):
         m = HunyuanModel(cfg=cfg, ck=ck, use_kernels=on_tpu)
 
+        import os
+        nd, ns = (int(x) for x in
+                  os.environ.get('CHIPMUNK_HY_CHUNKS', '2,4').split(','))
+
         def once():
-            streamed = m.make_streamed() if use_streamed else None
+            streamed = (m.make_streamed(n_chunks_double=nd,
+                                        n_chunks_single=ns)
+                        if use_streamed else None)
             out = hunyuan_denoise(m, params, lat, txt, y, ts,
                                   key=jax.random.PRNGKey(7),
                                   streamed=streamed)

@@ -169,3 +169,37 @@ def test_hunyuan_denoise_streamed_matches_resident():
                             key=jax.random.PRNGKey(5), streamed=streamed)
     np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_s),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_create_hostwise_matches_create():
+    """create_hostwise (no full device FluxState materialization — the
+    full-depth video state OOMs before the first offload otherwise)
+    builds the identical chunked init state."""
+    cfg = FluxModelConfig(in_channels=16, vec_in_dim=32, context_in_dim=32,
+                          hidden_size=128, num_heads=2, depth=2,
+                          depth_single_blocks=4, axes_dim=(16, 24, 24),
+                          guidance_embed=False, txt_len=128,
+                          dtype=jnp.float32)
+    ck = config_from_dict({
+        'steps': 4,
+        'attn': {'top_keys': 0.4, 'kv_block': 32, 'counts_multiple_of': 32,
+                 'first_n_dense_layers': 0, 'full_step_schedule': [0, 1],
+                 'should_compress_indices': False, 'recompute_mask': False},
+        'mlp': {'top_keys': 0.5, 'neuron_block': 32,
+                'counts_multiple_of': 32, 'first_n_dense_layers': 0,
+                'full_step_every': 2, 'block_mask_cache': 2},
+        'step_caching': {'is_enabled': False},
+    })
+    seq = cfg.txt_len + 16 * 24
+    sp = FluxSparse.build(ck, cfg, seq, use_kernels=False)
+    policy = OffloadPolicy()
+    a = StreamedFluxState.create(sp.init_state(cfg, 1), 2, 2, policy)
+    b = StreamedFluxState.create_hostwise(sp, cfg, 1, 2, 2, policy)
+    la, lb = (jax.tree_util.tree_leaves((s.double, s.single))
+              for s in (a, b))
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        assert x.shape == y.shape and x.dtype == y.dtype, (x.shape,
+                                                           y.shape)
+        np.testing.assert_array_equal(np.asarray(x, np.float32),
+                                      np.asarray(y, np.float32))
