@@ -52,16 +52,34 @@ def _host_flags(policy: OffloadPolicy):
     return (a, m)
 
 
-def _placed(tree, policy: OffloadPolicy, to_host: bool):
-    """Move policy-selected leaves of an (AttnState, MlpState) chunk
-    host-side (or back) with ONE batched device_put call — per-leaf
-    dispatches are RPC round trips on tunneled backends."""
+def _placed_flags(tree, flags, to_host: bool):
+    """Place ``tree`` leaves host/device per boolean ``flags`` with ONE
+    batched device_put call — per-leaf dispatches are RPC round trips on
+    tunneled backends."""
     from ..utils.offload import host_sharding, device_sharding
-    flags = _host_flags(policy)
     shardings = jax.tree_util.tree_map(
         lambda x, f: (host_sharding(x) if (to_host and f)
                       else device_sharding(x)), tree, flags)
     return jax.device_put(tree, shardings)
+
+
+def _placed(tree, policy: OffloadPolicy, to_host: bool):
+    """Move policy-selected leaves of an (AttnState, MlpState) chunk
+    host-side (or back)."""
+    return _placed_flags(tree, _host_flags(policy), to_host)
+
+
+def _retain(old_tree, new_tree, flags):
+    """Keep the still-valid HOST copies of an unmutated family (skipping
+    the D2H writeback entirely); leaves that never left the device must
+    take the program's fresh output — their fetched copy was donated."""
+    def pick(old, new, f):
+        try:
+            on_host = old.sharding.memory_kind == 'pinned_host'
+        except Exception:
+            on_host = False
+        return old if (f and on_host) else new
+    return jax.tree_util.tree_map(pick, old_tree, new_tree, flags)
 
 
 def _chunk(tree, n: int) -> List:
@@ -102,7 +120,8 @@ class StreamedFluxState:
         Each chunk is built from the single-layer init values
         (broadcast host-side) and placed per policy directly."""
         import numpy as np
-        from ..utils.offload import host_sharding, device_sharding
+        from ..utils.offload import (host_sharding, device_sharding,
+                                     chunked_device_put)
         H, D = model_cfg.num_heads, model_cfg.head_dim
         flags = _host_flags(policy)
 
@@ -113,7 +132,7 @@ class StreamedFluxState:
 
             def mk(x, f):
                 arr = np.broadcast_to(x, (c,) + x.shape)
-                return jax.device_put(
+                return chunked_device_put(
                     arr, host_sharding(x) if f else device_sharding(x))
 
             return [jax.tree_util.tree_map(mk, pair_np, flags)
@@ -239,12 +258,28 @@ class StreamedFluxRunner:
 
         pol = st.policy
 
+        # Which state families can this step kind mutate?  Sparse
+        # attention steps only READ AttnState (o = out_cache + delta;
+        # out_cache/lse/indices refresh exclusively on full steps) —
+        # writing an unchanged multi-GB chunk back to host every step
+        # is what sank the first full-depth streamed measurement
+        # (0.63x vs dense).  MLP state (act/out caches) accumulates on
+        # every computed step when MLP sparsity is on.
+        sp = self.sp
+        attn_mut = bool(step.full_attn)
+        mlp_mut = {'double': sp.mlp_d.cfg.is_enabled,
+                   'single': sp.mlp_s.cfg.is_enabled}
+        attn_on = {'double': sp.attn_d.cfg.is_enabled,
+                   'single': sp.attn_s.cfg.is_enabled}
+
         def run_stage(chunks, p_stack, stage, state_io, kstage):
             n = len(chunks)
             res = min(self.resident_chunks, n - 1) if n > 1 else n
             layers_per = (cfg.depth if stage == 'double'
                           else cfg.depth_single_blocks) // n
             prog = self._prog(stage, step)
+            a_mut = attn_mut and attn_on[stage]
+            m_mut = mlp_mut[stage]
             window = self._window.setdefault(stage, {})
             for j in range(min(self.prefetch_depth, n)):
                 if j not in window:
@@ -270,7 +305,14 @@ class StreamedFluxRunner:
                     chunks[i] = new_chunk
                     window[i] = new_chunk
                 else:
-                    chunks[i] = _placed(new_chunk, pol, True)
+                    na, nm = new_chunk
+                    oa, om = chunks[i]
+                    fa, fm = _host_flags(pol)
+                    chunks[i] = (
+                        _placed_flags(na, fa, True) if a_mut
+                        else _retain(oa, na, fa),
+                        _placed_flags(nm, fm, True) if m_mut
+                        else _retain(om, nm, fm))
             return state_io
 
         img, txt = run_stage(st.double, params['double'], 'double',

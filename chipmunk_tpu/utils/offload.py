@@ -45,6 +45,30 @@ def device_sharding(x: jnp.ndarray):
     return jax.sharding.SingleDeviceSharding(jax.devices()[0])
 
 
+def chunked_device_put(arr, sharding=None,
+                       max_bytes: int = 128 * 1024 * 1024):
+    """device_put for LARGE host (numpy) arrays.  The dev-tunnel transfer
+    path degrades ~50x above ~200MB per call (measured: 128MB=0.13s,
+    256MB=10.5s); slicing along axis 0 into <=128MB pieces and
+    concatenating on device is ~7x faster for multi-hundred-MB leaves.
+    ``sharding`` (e.g. a pinned_host placement) is applied to the
+    assembled result."""
+    import numpy as np
+    if arr.nbytes <= 192 * 1024 * 1024:
+        return (jax.device_put(arr, sharding) if sharding is not None
+                else jax.device_put(arr))
+    dev = jax.devices()[0]
+    s_dev = jax.sharding.SingleDeviceSharding(dev)
+    n0 = arr.shape[0]
+    per = max(1, int(max_bytes // max(1, arr.nbytes // n0)))
+    parts = [jax.device_put(np.ascontiguousarray(arr[i:i + per]), s_dev)
+             for i in range(0, n0, per)]
+    out = jnp.concatenate(parts, axis=0)
+    if sharding is not None:
+        out = jax.device_put(out, sharding)
+    return out
+
+
 def offload_to_host(tree):
     """Async copy a pytree to host memory (D2H)."""
     return jax.tree_util.tree_map(

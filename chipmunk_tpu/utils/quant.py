@@ -34,6 +34,8 @@ from typing import Any, NamedTuple, Optional, Union
 import jax
 import jax.numpy as jnp
 
+from .offload import chunked_device_put
+
 F8 = jnp.float8_e4m3fn
 F8_MAX = 448.0
 
@@ -268,8 +270,8 @@ def synth_quantized_params(seed: int, shapes,
         for a in scale_axes:
             ss[a] = shape[a]
         scale = np.full(ss, fan_in ** -0.5 / 4.0, np.float32)
-        return QTensor(q=jax.device_put(q), scale=jax.device_put(scale),
-                       pack_axis=None)
+        return QTensor(q=chunked_device_put(q),
+                       scale=jax.device_put(scale), pack_axis=None)
 
     def int4_qt(shape, fan_in, pack_axis, scale_axes):
         ps = list(shape)
@@ -279,18 +281,21 @@ def synth_quantized_params(seed: int, shapes,
         for a in scale_axes:
             ss[a] = shape[a]
         scale = np.full(ss, fan_in ** -0.5 / 7.0, np.float32)
-        return QTensor(q=jax.device_put(q), scale=jax.device_put(scale),
+        return QTensor(q=chunked_device_put(q),
+                       scale=jax.device_put(scale),
                        pack_axis=pack_axis - len(shape))
 
     def int8_qt(shape, fan_in, scale_axes):
-        q = rng.integers(-127, 128, size=shape, dtype=np.int64
-                         ).astype(np.int8)
+        # uint8 draw + view: no x8 int64 intermediate for multi-GB leaves
+        q = (rng.integers(0, 255, size=shape, dtype=np.uint8)
+             .view(np.int8) + np.int8(0))
+        np.clip(q, -127, 127, out=q)
         ss = [1] * len(shape)
         for a in scale_axes:
             ss[a] = shape[a]
         scale = np.full(ss, fan_in ** -0.5 / 127.0, np.float32)
-        return QTensor(q=jax.device_put(q), scale=jax.device_put(scale),
-                       pack_axis=None)
+        return QTensor(q=chunked_device_put(q),
+                       scale=jax.device_put(scale), pack_axis=None)
 
     def qt(shape, fan_in, kind, pack_axis, scale_axes):
         if kind == 'int4':
@@ -326,7 +331,7 @@ def synth_quantized_params(seed: int, shapes,
         arr = (rng.standard_normal(shape) * 0.02).astype(
             ml_dtypes.bfloat16 if dtype == jnp.bfloat16
             else np.dtype(dtype))
-        return jax.device_put(arr)
+        return chunked_device_put(arr)
 
     return jax.tree_util.tree_map_with_path(leaf, shapes)
 

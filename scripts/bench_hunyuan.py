@@ -31,7 +31,8 @@ import numpy as np
 from chipmunk_tpu.config import load_config, config_from_dict
 from chipmunk_tpu.models.hunyuan import (HunyuanModelConfig, HunyuanModel,
                                          init_hunyuan_params)
-from chipmunk_tpu.models.video_sampling import hunyuan_denoise
+from chipmunk_tpu.models.video_sampling import (hunyuan_denoise,
+                                                hunyuan_denoise_compiled)
 from chipmunk_tpu.models.sampling import get_schedule
 from chipmunk_tpu.utils.quant import synth_quantized_params, QuantSpec
 
@@ -54,7 +55,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_one(name, steps=50, trials=1, side='both'):
+def bench_one(name, steps=50, trials=1, side='both', loop='host'):
     streamed_mode = name.endswith('-streamed')
     base = name[:-len('-streamed')] if streamed_mode else name
     (lt, lh, lw), (dd, ds), quant = SCALES[base]
@@ -105,12 +106,19 @@ def bench_one(name, steps=50, trials=1, side='both'):
                   os.environ.get('CHIPMUNK_HY_CHUNKS', '2,4').split(','))
 
         def once():
-            streamed = (m.make_streamed(n_chunks_double=nd,
-                                        n_chunks_single=ns)
-                        if use_streamed else None)
-            out = hunyuan_denoise(m, params, lat, txt, y, ts,
-                                  key=jax.random.PRNGKey(7),
-                                  streamed=streamed)
+            if loop == 'compiled' and not use_streamed:
+                # single-dispatch whole-loop program: no per-step host
+                # round trips (the tunnel charges per dispatch; docs/
+                # DESIGN.md "Single-dispatch denoise loops")
+                out = hunyuan_denoise_compiled(m, params, lat, txt, y, ts,
+                                               key=jax.random.PRNGKey(7))
+            else:
+                streamed = (m.make_streamed(n_chunks_double=nd,
+                                            n_chunks_single=ns)
+                            if use_streamed else None)
+                out = hunyuan_denoise(m, params, lat, txt, y, ts,
+                                      key=jax.random.PRNGKey(7),
+                                      streamed=streamed)
             return float(np.asarray(out.ravel()[0]))
 
         t0 = time.perf_counter()
@@ -134,7 +142,7 @@ def bench_one(name, steps=50, trials=1, side='both'):
                use_streamed=streamed_mode)
            if side in ('both', 'sparse') else None)
     row = {"scale": name, "seq": cfg.seq_len, "depth": f"{dd}+{ds}",
-           "quantized": quant, "streamed": streamed_mode}
+           "quantized": quant, "streamed": streamed_mode, "loop": loop}
     if t_d is not None:
         row["dense_s"] = round(t_d, 2)
     if t_s is not None:
@@ -155,11 +163,14 @@ def main():
     ap.add_argument('--trials', type=int, default=1)
     ap.add_argument('--side', default='both',
                     choices=['both', 'dense', 'sparse'])
+    ap.add_argument('--loop', default='host',
+                    choices=['host', 'compiled'])
     args = ap.parse_args()
     rows = []
     for name in args.scale.split(','):
         rows.append(bench_one(name.strip(), steps=args.steps,
-                              trials=args.trials, side=args.side))
+                              trials=args.trials, side=args.side,
+                              loop=args.loop))
     print(json.dumps({"metric": "hunyuan_e2e_speedup_curve",
                       "reference_baseline":
                           "HunyuanVideo e2e 3.72x (README.md:87)",
