@@ -52,15 +52,26 @@ MM2_COUT_BLOCK = 1024
 VMEM_LIMIT = 64 * 1024 * 1024
 
 
-def _dq4(q, dtype):
+def _dq4_planes(q, dtype):
     """In-kernel int4 plane-split dequant: [r, c/2] uint8 (offset-binary
     nibbles; position i holds cols i and i + c/2, utils/quant.py format)
-    -> [r, c] in ``dtype`` (scale NOT applied — folded post-matmul).
-    Two shifts + one concat: no lane interleave, VPU-cheap; the HBM win
+    -> two [r, c/2] planes in ``dtype`` (scale NOT applied — folded
+    post-matmul).  Returned as separate planes so callers can split the
+    matmul over them instead of paying a cross-lane concat; the HBM win
     is the point — gathered weight traffic halves vs int8/fp8."""
-    lo = (q & 0xF).astype(jnp.int8) - 8
-    hi = (q >> 4).astype(jnp.int8) - 8
-    return jnp.concatenate([lo, hi], axis=-1).astype(dtype)
+    # All bit ops in int32: Mosaic on v5e does not legalize 8-bit vector
+    # arithmetic (arith.subi / arith.shrui on vector<..xi8>); the u8->i32
+    # extension and i32 and/shift/sub/convert chain is native
+    qi = q.astype(jnp.int32)
+    lo = (qi & 0xF) - 8
+    hi = (qi >> 4) - 8
+    return lo.astype(dtype), hi.astype(dtype)
+
+
+def _dq4(q, dtype):
+    """Materialized [r, c] int4 dequant (concat of the two planes)."""
+    lo, hi = _dq4_planes(q, dtype)
+    return jnp.concatenate([lo, hi], axis=-1)
 
 
 def _mm1_kernel(inds_ref, counts_ref,           # scalar prefetch (SMEM)
@@ -76,15 +87,23 @@ def _mm1_kernel(inds_ref, counts_ref,           # scalar prefetch (SMEM)
     x = x_ref[:]                                  # [BM, C] bf16
     w = w1t_ref[:]                     # [bn, C] bf16|fp8|int8 | [bn,C/2] u8
     if w4:
-        w = _dq4(w, x.dtype)
-    elif wq:
-        # quantized weights: per-out-row scale folded AFTER the matmul
-        # ([BM,bn] multiply beats dequantizing the [bn,C] block; the
-        # reference's fp8 Triton mm1 fuses scales the same way,
-        # triton/csp_mlp_mm1.py:122-130)
-        w = w.astype(x.dtype)
-    mid = jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+        # plane-split matmul: contract each nibble plane against its x
+        # half — no cross-lane concat of the dequantized block
+        lo, hi = _dq4_planes(w, x.dtype)
+        h = x.shape[1] // 2
+        mid = (jax.lax.dot_general(x[:, :h], lo, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+               + jax.lax.dot_general(x[:, h:], hi, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32))
+    else:
+        if wq:
+            # quantized weights: per-out-row scale folded AFTER the matmul
+            # ([BM,bn] multiply beats dequantizing the [bn,C] block; the
+            # reference's fp8 Triton mm1 fuses scales the same way,
+            # triton/csp_mlp_mm1.py:122-130)
+            w = w.astype(x.dtype)
+        mid = jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
     if wq:
         mid = mid * ws_ref[0]
     mid = mid + b1_ref[0].astype(jnp.float32)
@@ -197,16 +216,26 @@ def _mm2_kernel(inds_ref, counts_ref,
         a = packed_ref[:]
         w = w2_ref[:]
         if w4:
-            w = _dq4(w, a.dtype)
+            # plane-split: the packed planes hold output cols [0, Cout/2)
+            # and [Cout/2, Cout) — accumulate each into its half of acc
             a = a * ws_ref[0].astype(a.dtype)
-        elif wq:
-            # per-N-row scale folded into the packed operand ([bm,bn]
-            # multiply, cheaper than dequantizing the [bn,cb] block)
-            a = a * ws_ref[0].astype(a.dtype)
-            w = w.astype(a.dtype)
-        acc_ref[:] += jax.lax.dot_general(
-            a, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            lo, hi = _dq4_planes(w, a.dtype)
+            h = lo.shape[1]
+            acc_ref[:, :h] += jax.lax.dot_general(
+                a, lo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_ref[:, h:] += jax.lax.dot_general(
+                a, hi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            if wq:
+                # per-N-row scale folded into the packed operand ([bm,bn]
+                # multiply, cheaper than dequantizing the [bn,cb] block)
+                a = a * ws_ref[0].astype(a.dtype)
+                w = w.astype(a.dtype)
+            acc_ref[:] += jax.lax.dot_general(
+                a, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
     @pl.when(j == nj - 1)
     def _():
@@ -301,11 +330,17 @@ def _fused_kernel(inds_ref, counts_ref,          # scalar prefetch (SMEM)
     x = x_ref[:]                                  # [BM, C]
     w1 = w1t_ref[:]                               # [bn, C] (or [bn, C/2])
     if w4:
-        w1 = _dq4(w1, x.dtype)
-    elif wq:
-        w1 = w1.astype(x.dtype)
-    mid = jax.lax.dot_general(x, w1, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+        lo, hi = _dq4_planes(w1, x.dtype)
+        h = x.shape[1] // 2
+        mid = (jax.lax.dot_general(x[:, :h], lo, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+               + jax.lax.dot_general(x[:, h:], hi, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32))
+    else:
+        if wq:
+            w1 = w1.astype(x.dtype)
+        mid = jax.lax.dot_general(x, w1, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
     if wq:
         mid = mid * w1s_ref[0]
     mid = mid + b1_ref[0].astype(jnp.float32)
@@ -319,13 +354,21 @@ def _fused_kernel(inds_ref, counts_ref,          # scalar prefetch (SMEM)
         w2 = w2_ref[:]
         if w4:
             delta = delta * w2s_ref[0].astype(delta.dtype)
-            w2 = _dq4(w2, delta.dtype)
-        elif wq:
-            delta = delta * w2s_ref[0].astype(delta.dtype)
-            w2 = w2.astype(delta.dtype)
-        acc_ref[:] += jax.lax.dot_general(
-            delta, w2, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            lo, hi = _dq4_planes(w2, delta.dtype)
+            h = lo.shape[1]
+            acc_ref[:, :h] += jax.lax.dot_general(
+                delta, lo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_ref[:, h:] += jax.lax.dot_general(
+                delta, hi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            if wq:
+                delta = delta * w2s_ref[0].astype(delta.dtype)
+                w2 = w2.astype(delta.dtype)
+            acc_ref[:] += jax.lax.dot_general(
+                delta, w2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
     @pl.when(j == nj - 1)
     def _():

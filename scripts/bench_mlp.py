@@ -27,7 +27,8 @@ def main():
     ap.add_argument('--quant', default='fp8',
                     choices=['fp8', 'int8', 'int4', 'none'])
     ap.add_argument('--tokens', type=int, default=4608)
-    ap.add_argument('--iters', type=int, default=16)
+    ap.add_argument('--iters', type=int, default=48)
+    ap.add_argument('--bn', type=int, default=128)
     args = ap.parse_args()
 
     T, C, N = args.tokens, 3072, 12288
@@ -58,7 +59,8 @@ def main():
 
     for bm in (128, 256, 512):
         M = T // bm
-        nb = N // 128
+        bn = args.bn
+        nb = N // bn
         sel = max(int(round(args.keep * nb)), 1)
         rng = np.random.default_rng(0)
         inds = np.sort(np.stack([rng.choice(nb, sel, replace=False)
@@ -68,22 +70,27 @@ def main():
         cache = (jax.random.normal(ks[3], (T, N)) * 0.1
                  ).astype(jnp.float8_e4m3fn)
         out = jax.random.normal(ks[4], (T, C), dt) * 0.1
-        fl_sp = 2 * T * C * (sel * 128) * 2
+        fl_sp = 2 * T * C * (sel * bn) * 2
 
+        # chain with a tiny NONZERO factor: `0.0 * o` lets XLA's algebraic
+        # simplifier fold the product to zeros and DCE the whole sparse
+        # kernel (measured: "9.45x" > the 3.3x FLOP ceiling).  1e-20 is
+        # exactly representable in bf16 (fp32-range exponent) and keeps
+        # the chained value numerically unchanged.
         def step_f(xx):
             o, _ = csp_mlp_fused(xx, w1u, b1, w2u, cache, out, inds,
-                                 counts, bn=128, bm=bm)
-            return (xx + 0.0 * o[:, :C]).astype(dt)
+                                 counts, bn=bn, bm=bm)
+            return (xx + 1e-20 * o[:, :C].astype(jnp.float32)).astype(dt)
 
         def step_2(xx):
             p, _ = csp_mlp_mm1(xx, w1u, b1, cache, inds, counts,
-                               bn=128, bm=bm)
-            o = csp_mlp_mm2(p, w2u, out, inds, counts, bn=128, bm=bm)
-            return (xx + 0.0 * o[:, :C]).astype(dt)
+                               bn=bn, bm=bm)
+            o = csp_mlp_mm2(p, w2u, out, inds, counts, bn=bn, bm=bm)
+            return (xx + 1e-20 * o[:, :C].astype(jnp.float32)).astype(dt)
 
         t_f = bench_loop(step_f, x, iters=args.iters)
         t_2 = bench_loop(step_2, x, iters=args.iters)
-        print(f"bm={bm} keep={args.keep} quant={args.quant}: "
+        print(f"bm={bm} bn={bn} keep={args.keep} quant={args.quant}: "
               f"fused {t_f*1000:.2f} ms ({fl_sp/t_f/1e12:.1f} TF/s, "
               f"{t_dense/t_f:.2f}x dense) | "
               f"two-kernel {t_2*1000:.2f} ms ({t_dense/t_2:.2f}x)")

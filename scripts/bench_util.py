@@ -16,24 +16,33 @@ def _materialize(r):
     return float(np.asarray(leaf.ravel()[0]).astype(np.float32))
 
 
-def bench_loop(step, x0, iters=50, warmup=True):
+def bench_loop(step, x0, iters=50, warmup=True, trials=3):
     """step: x -> x (must consume its input so iterations chain).
-    Returns seconds per iteration."""
-    @jax.jit
-    def run(x):
-        return jax.lax.fori_loop(0, iters, lambda i, x: step(x), x)
+    Returns seconds per iteration.
 
-    _materialize(run(x0))  # compile + warm
-    t0 = time.perf_counter()
-    _materialize(run(x0))
-    t1 = time.perf_counter()
-    # subtract a 1-iteration run to remove dispatch overhead
-    @jax.jit
-    def run1(x):
-        return step(x)
-    _materialize(run1(x0))
-    t2 = time.perf_counter()
-    _materialize(run1(x0))
-    t3 = time.perf_counter()
-    total = (t1 - t0) - (t3 - t2)
-    return max(total, 1e-9) / max(iters - 1, 1)
+    Two loop lengths (iters and 4*iters), min over ``trials`` runs each,
+    slope = (t_long - t_short) / (3*iters): the per-dispatch constant
+    (tunnel RPC, host sync) cancels in the difference, and min-of-N
+    suppresses its variance — a single 1-iteration subtraction run (the
+    previous scheme) swings by +-10-20 ms on the tunnel, which dwarfs
+    sub-millisecond kernels."""
+    n1, n2 = iters, 4 * iters
+
+    def make(n):
+        @jax.jit
+        def run(x):
+            return jax.lax.fori_loop(0, n, lambda i, x: step(x), x)
+        return run
+
+    run1, run2 = make(n1), make(n2)
+    _materialize(run1(x0))  # compile + warm
+    _materialize(run2(x0))
+    t_short, t_long = float('inf'), float('inf')
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        _materialize(run1(x0))
+        t_short = min(t_short, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _materialize(run2(x0))
+        t_long = min(t_long, time.perf_counter() - t0)
+    return max(t_long - t_short, 1e-9) / (n2 - n1)
