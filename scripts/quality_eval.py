@@ -102,11 +102,20 @@ def run_flux(args):
             'attn': dict(base_attn, kv_block=32, counts_multiple_of=32),
             'mlp': dict(base_mlp),
             'step_caching': {'is_enabled': True}},
+        # coarser neuron selection granularity (the reference's own
+        # counts_multiple_of=256); the r3 perf lever for bm<=256
+        'neuron_block=256': {
+            'attn': dict(base_attn),
+            'mlp': dict(base_mlp, neuron_block=256),
+            'step_caching': {'is_enabled': True}},
         'fp8-caches': {
             'attn': dict(base_attn, out_cache_dtype='float8_e4m3fn'),
             'mlp': dict(base_mlp, act_cache_dtype='float8_e4m3fn'),
             'step_caching': {'is_enabled': True}},
     }
+    if getattr(args, 'only', None):
+        keep = set(args.only.split(','))
+        ablations = {k: v for k, v in ablations.items() if k in keep}
     print("name\tcosine\tpsnr_db\trel_l2", flush=True)
     for name, cfg in ablations.items():
         cfg = dict(cfg)
@@ -119,6 +128,8 @@ def run_flux(args):
 
     # fp8/int4 weight quantization deviation (dense pipeline, so the
     # number isolates weight storage, not sparsity)
+    if getattr(args, 'only', None):
+        return
     from chipmunk_tpu.utils.quant import quantize_flux_params, QuantSpec
     for name, spec in [
             ('weights-fp8(dense)', QuantSpec()),
@@ -329,6 +340,8 @@ if __name__ == '__main__':
     ap.add_argument('--model', default='flux',
                     choices=['flux', 'flux-full', 'hunyuan', 'wan'])
     ap.add_argument('--steps', type=int, default=50)
+    ap.add_argument('--only', default=None,
+                    help='comma list: run only these ablation names')
     ap.add_argument('--depth', type=int, nargs=2, default=[4, 8])
     ap.add_argument('--attn-quant', default='int4',
                     choices=['int4', 'int8'],
