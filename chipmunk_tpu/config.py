@@ -70,6 +70,12 @@ class MlpConfig:
     # more aggressive than for act_cache (the cache accumulates sparse
     # deltas between full refreshes) — measure with scripts/quality_eval.
     out_cache_dtype: Optional[str] = None
+    # TPU-only: run the sparse-step matmuls on the MXU's ~1.7x-rate int8
+    # path with per-token-row dynamically quantized activations (the TPU
+    # analogue of the reference's fp8 Triton mm1, triton/csp_mlp_mm1.py).
+    # Requires int8/int4 QTensor weights (quantized_residency int8/int4);
+    # quality deltas measured by scripts/quality_eval.
+    int8_act: bool = False
 
 
 @dataclass(frozen=True)

@@ -307,12 +307,27 @@ def csp_mlp_mm2(packed: jnp.ndarray, w2: jnp.ndarray, out_cache: jnp.ndarray,
 
 def _fused_kernel(inds_ref, counts_ref,          # scalar prefetch (SMEM)
                   *refs, wq: bool = False, nj: int = 0,
-                  w4: bool = False):
+                  w4: bool = False, a8: bool = False):
     """mm1 + mm2 in one pass: the packed delta lives only in registers/
     VMEM — never written to HBM (the reference pays a packed round-trip
     between its two kernels and fights the launch gap with a CUDA-graph
     SM split, csp_mlp_mm2_and_scatter_add.cu:96-259; fusing is the TPU
-    answer to both)."""
+    answer to both).
+
+    ``a8``: dynamically quantize the activations to int8 per token row and
+    run both matmuls int8 x int8 -> int32 on the MXU — v5e executes int8
+    matmul at ~1.7x the bf16 rate (scripts/bench_int8_mxu.py), the TPU
+    analogue of the reference's fp8 Triton mm1 (triton/csp_mlp_mm1.py;
+    the reference quantizes mm1's input with a calibrated scale — here the
+    scale is exact per-row).  x is quantized once per token block (j==0,
+    scratch); the mm2 operand (the activation delta) is quantized per
+    neuron-block step with fc2's per-row scale pre-folded so the int32
+    accumulator dequantizes with one per-token scalar.  Requires int8 or
+    int4-packed weights."""
+    if a8:
+        *refs, x8_ref, sx_ref = refs
+    else:
+        x8_ref = sx_ref = None
     if wq:
         (x_ref, w1t_ref, w1s_ref, b1_ref, w2_ref, w2s_ref, cache_ref,
          outin_ref, out_ref, newcache_ref, acc_ref) = refs
@@ -326,34 +341,82 @@ def _fused_kernel(inds_ref, counts_ref,          # scalar prefetch (SMEM)
     @pl.when(j == 0)
     def _():
         acc_ref[:] = outin_ref[:].astype(jnp.float32)
+        if a8:
+            xf = x_ref[:].astype(jnp.float32)
+            sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
+                             1e-6) * (1.0 / 127.0)
+            sx_ref[:] = sx
+            x8_ref[:] = jnp.clip(jnp.round(xf / sx), -127, 127
+                                 ).astype(jnp.int8)
 
     x = x_ref[:]                                  # [BM, C]
     w1 = w1t_ref[:]                               # [bn, C] (or [bn, C/2])
-    if w4:
+    if a8:
+        x8 = x8_ref[:]
+        if w4:
+            # int4 planes dequantize to int8 exactly ([-8, 7] nibbles) —
+            # the plane matmuls stay on the MXU int8 path
+            lo, hi = _dq4_planes(w1, jnp.int8)
+            h = x8.shape[1] // 2
+            mid = (jax.lax.dot_general(
+                       x8[:, :h], lo, (((1,), (1,)), ((), ())),
+                       preferred_element_type=jnp.int32)
+                   + jax.lax.dot_general(
+                       x8[:, h:], hi, (((1,), (1,)), ((), ())),
+                       preferred_element_type=jnp.int32))
+        else:
+            mid = jax.lax.dot_general(x8, w1, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+        mid = mid.astype(jnp.float32) * (sx_ref[:] * w1s_ref[0])
+    elif w4:
         lo, hi = _dq4_planes(w1, x.dtype)
         h = x.shape[1] // 2
         mid = (jax.lax.dot_general(x[:, :h], lo, (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
                + jax.lax.dot_general(x[:, h:], hi, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32))
+        mid = mid * w1s_ref[0]
     else:
         if wq:
             w1 = w1.astype(x.dtype)
         mid = jax.lax.dot_general(x, w1, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-    if wq:
-        mid = mid * w1s_ref[0]
+        if wq:
+            mid = mid * w1s_ref[0]
     mid = mid + b1_ref[0].astype(jnp.float32)
     act = jax.nn.gelu(mid, approximate=True).astype(cache_ref.dtype)
 
     @pl.when(valid)
     def _():
-        delta = (act.astype(jnp.float32)
-                 - cache_ref[:].astype(jnp.float32)).astype(x.dtype)
+        delta_f = (act.astype(jnp.float32)
+                   - cache_ref[:].astype(jnp.float32))
         newcache_ref[:] = act
         w2 = w2_ref[:]
-        if w4:
-            delta = delta * w2s_ref[0].astype(delta.dtype)
+        if a8:
+            # fold fc2's per-contraction-row scale into the delta, then
+            # quantize per token row: acc dequant is one [bm,1] multiply
+            ds = delta_f * w2s_ref[0]
+            sd = jnp.maximum(jnp.max(jnp.abs(ds), axis=1, keepdims=True),
+                             1e-12) * (1.0 / 127.0)
+            d8 = jnp.clip(jnp.round(ds / sd), -127, 127).astype(jnp.int8)
+            if w4:
+                lo, hi = _dq4_planes(w2, jnp.int8)
+                h = lo.shape[1]
+                acc_ref[:, :h] += jax.lax.dot_general(
+                    d8, lo, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32) \
+                    * sd
+                acc_ref[:, h:] += jax.lax.dot_general(
+                    d8, hi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32) \
+                    * sd
+            else:
+                acc_ref[:] += jax.lax.dot_general(
+                    d8, w2, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32) \
+                    * sd
+        elif w4:
+            delta = delta_f.astype(x.dtype) * w2s_ref[0].astype(x.dtype)
             lo, hi = _dq4_planes(w2, delta.dtype)
             h = lo.shape[1]
             acc_ref[:, :h] += jax.lax.dot_general(
@@ -363,6 +426,7 @@ def _fused_kernel(inds_ref, counts_ref,          # scalar prefetch (SMEM)
                 delta, hi, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         else:
+            delta = delta_f.astype(x.dtype)
             if wq:
                 delta = delta * w2s_ref[0].astype(delta.dtype)
                 w2 = w2.astype(delta.dtype)
@@ -375,23 +439,31 @@ def _fused_kernel(inds_ref, counts_ref,          # scalar prefetch (SMEM)
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=('bn', 'bm', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('bn', 'bm', 'interpret', 'a8'))
 def csp_mlp_fused(x: jnp.ndarray, w1t, b1: jnp.ndarray, w2,
                   act_cache: jnp.ndarray, out_cache: jnp.ndarray,
                   inds: jnp.ndarray, counts: jnp.ndarray,
                   bn: int = 128, bm: int = DEFAULT_BM,
-                  interpret: bool = False,
+                  interpret: bool = False, a8: bool = False,
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-kernel sparse MLP step: per token block, loop the selected
     neuron blocks — gather fc1 rows, recompute activations, delta vs
     cache (refreshing it in place), and accumulate delta @ fc2 rows into
     the donated out_cache, all in VMEM.  w1t/w2 may be QTensors.
+    ``a8`` runs the matmuls on the MXU's 2x-rate int8 path with per-row
+    dynamically quantized activations (requires int8/int4 weights; the TPU
+    analogue of the reference's fp8 mm1, see _fused_kernel).
     Returns (new_out_cache, new_act_cache)."""
     from ..utils.quant import QTensor
     T, C = x.shape
     wq = isinstance(w1t, QTensor)
     assert wq == isinstance(w2, QTensor), "quantize both or neither"
     w4 = wq and w1t.pack_axis is not None
+    if a8:
+        assert wq and (w4 or (w1t.q.dtype == jnp.int8
+                              and w2.q.dtype == jnp.int8)), \
+            "a8 needs int8 or int4-packed weights (got %s)" % (
+                w1t.q.dtype if wq else type(w1t).__name__)
     if wq:
         assert (w1t.pack_axis is None) == (w2.pack_axis is None), \
             "int4-pack both or neither"
@@ -440,10 +512,12 @@ def csp_mlp_fused(x: jnp.ndarray, w1t, b1: jnp.ndarray, w2,
             pl.BlockSpec((bm, Cout), lambda m, j, I, c: (m, 0)),
             pl.BlockSpec((bm, bn), lambda m, j, I, c: (m, I[m, j])),
         ],
-        scratch_shapes=[pltpu.VMEM((bm, Cout), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, Cout), jnp.float32)]
+        + ([pltpu.VMEM((bm, C), jnp.int8),
+            pltpu.VMEM((bm, 1), jnp.float32)] if a8 else []),
     )
     new_out, new_cache = pl.pallas_call(
-        functools.partial(_fused_kernel, wq=wq, nj=jmax, w4=w4),
+        functools.partial(_fused_kernel, wq=wq, nj=jmax, w4=w4, a8=a8),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, Cout), out_cache.dtype),
@@ -464,14 +538,15 @@ def csp_mlp(x: jnp.ndarray, w1t: jnp.ndarray, b1: jnp.ndarray,
             inds: jnp.ndarray, counts: jnp.ndarray,
             bn: int = 128, bm: int = DEFAULT_BM,
             fused: bool = True,   # single-kernel path (csp_mlp_fused)
-            interpret: bool = False,
+            interpret: bool = False, a8: bool = False,
             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full sparse MLP step (reference ops/mlp.py run_e2e:63-92).
     Returns (new_out_cache, new_act_cache)."""
     if fused:
         return csp_mlp_fused(x, w1t, b1, w2, act_cache, out_cache,
                              inds, counts, bn=bn, bm=bm,
-                             interpret=interpret)
+                             interpret=interpret, a8=a8)
+    assert not a8, "int8 activations are implemented on the fused path"
     packed, new_cache = csp_mlp_mm1(x, w1t, b1, act_cache, inds, counts,
                                     bn=bn, bm=bm, interpret=interpret)
     new_out = csp_mlp_mm2(packed, w2, out_cache, inds, counts,

@@ -163,10 +163,19 @@ class SparseDiffMlp:
             assert key is not None
             state = self._recompute_indices(x, w1t, b1, state, key)
         if self.use_kernels:
+            a8 = self.cfg.int8_act
+            if a8:
+                from ..utils.quant import QTensor
+                ok = (isinstance(w1t, QTensor) and isinstance(w2, QTensor)
+                      and all(w.pack_axis is not None
+                              or w.q.dtype == jnp.int8 for w in (w1t, w2)))
+                assert ok, ("mlp.int8_act needs int8/int4 QTensor MLP "
+                            "weights (quantized_residency int8/int4); got "
+                            f"{type(w1t).__name__}")
             new_out, new_act = kernels.csp_mlp(
                 x, w1t, b1, w2, state.act_cache, state.out_cache,
                 state.inds, state.counts, bn=self.cfg.neuron_block,
-                bm=self.cfg.bm, interpret=self.interpret)
+                bm=self.cfg.bm, interpret=self.interpret, a8=a8)
         else:
             bn = self.cfg.neuron_block
             tinds = (state.inds[..., None] * bn

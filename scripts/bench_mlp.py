@@ -29,6 +29,11 @@ def main():
     ap.add_argument('--tokens', type=int, default=4608)
     ap.add_argument('--iters', type=int, default=48)
     ap.add_argument('--bn', type=int, default=128)
+    ap.add_argument('--a8', action='store_true',
+                    help='int8-quantized activations (needs int8/int4 '
+                         'weights)')
+    ap.add_argument('--bm', type=int, nargs='*', default=[128, 256, 512])
+    ap.add_argument('--fused-only', action='store_true')
     args = ap.parse_args()
 
     T, C, N = args.tokens, 3072, 12288
@@ -57,7 +62,7 @@ def main():
     print(f"dense XLA bf16: {t_dense*1000:.2f} ms, "
           f"{fl_dense/t_dense/1e12:.1f} TFLOP/s")
 
-    for bm in (128, 256, 512):
+    for bm in args.bm:
         M = T // bm
         bn = args.bn
         nb = N // bn
@@ -79,7 +84,7 @@ def main():
         # the chained value numerically unchanged.
         def step_f(xx):
             o, _ = csp_mlp_fused(xx, w1u, b1, w2u, cache, out, inds,
-                                 counts, bn=bn, bm=bm)
+                                 counts, bn=bn, bm=bm, a8=args.a8)
             return (xx + 1e-20 * o[:, :C].astype(jnp.float32)).astype(dt)
 
         def step_2(xx):
@@ -89,11 +94,13 @@ def main():
             return (xx + 1e-20 * o[:, :C].astype(jnp.float32)).astype(dt)
 
         t_f = bench_loop(step_f, x, iters=args.iters)
-        t_2 = bench_loop(step_2, x, iters=args.iters)
-        print(f"bm={bm} bn={bn} keep={args.keep} quant={args.quant}: "
-              f"fused {t_f*1000:.2f} ms ({fl_sp/t_f/1e12:.1f} TF/s, "
-              f"{t_dense/t_f:.2f}x dense) | "
-              f"two-kernel {t_2*1000:.2f} ms ({t_dense/t_2:.2f}x)")
+        line = (f"bm={bm} bn={bn} keep={args.keep} quant={args.quant} "
+                f"a8={args.a8}: fused {t_f*1000:.2f} ms "
+                f"({fl_sp/t_f/1e12:.1f} TF/s, {t_dense/t_f:.2f}x dense)")
+        if not args.fused_only:
+            t_2 = bench_loop(step_2, x, iters=args.iters)
+            line += f" | two-kernel {t_2*1000:.2f} ms ({t_dense/t_2:.2f}x)"
+        print(line, flush=True)
 
 
 if __name__ == '__main__':

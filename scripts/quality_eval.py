@@ -206,6 +206,11 @@ def run_flux_full(args):
         'full-no-stepcache': {
             'attn': dict(attn), 'mlp': dict(mlp),
             'step_caching': {'is_enabled': False}},
+        # int8-activation sparse MLP (mlp.int8_act, kernels/csp_mlp.py a8):
+        # the MXU 2x-int8-rate lever on top of the int8 sparse weights
+        'full-headline+int8act': {
+            'attn': dict(attn), 'mlp': dict(mlp, int8_act=True),
+            'step_caching': {'is_enabled': True}},
         'full-bf16-caches(+stepcache)': {
             'attn': {k: v for k, v in attn.items()
                      if k != 'out_cache_dtype'},
@@ -213,6 +218,9 @@ def run_flux_full(args):
                     if not k.endswith('cache_dtype')},
             'step_caching': {'is_enabled': True}},
     }
+    if getattr(args, 'only', None):
+        keep = set(args.only.split(','))
+        ablations = {k: v for k, v in ablations.items() if k in keep}
     print("name\tcosine\tpsnr_db\trel_l2", flush=True)
     for name, cfg in ablations.items():
         cfg = dict(cfg)

@@ -251,3 +251,63 @@ def test_dense_attn_two_chain_matches_ref():
                                    atol=2e-5, rtol=2e-5)
         np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref),
                                    atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize('qkind', ['int8', 'int4'])
+def test_csp_mlp_a8_matches_reference(qkind):
+    """int8-activation path (a8): per-row dynamically quantized activations
+    against int8/int4 weights must track the eager dequant reference within
+    quantization tolerance, and add only a small error over the bf16-
+    activation quantized path."""
+    from chipmunk_tpu.kernels.csp_mlp import csp_mlp_fused
+    from chipmunk_tpu.ops import mlp_ref
+    from chipmunk_tpu.utils.quant import quantize, dequant
+    T, C, N, bn, bm = 256, 256, 1024, 128, 128
+    ks = jax.random.split(jax.random.PRNGKey(11), 6)
+    x = jax.random.normal(ks[0], (T, C), jnp.float32)
+    w1t = jax.random.normal(ks[1], (N, C)) * C ** -0.5
+    b1 = jax.random.normal(ks[2], (N,)) * 0.1
+    w2 = jax.random.normal(ks[3], (N, C)) * N ** -0.5
+    cache = jax.random.normal(ks[4], (T, N), jnp.float32) * 0.1
+    out = jax.random.normal(ks[5], (T, C), jnp.float32) * 0.1
+    M = T // bm
+    inds = jnp.tile(jnp.asarray([[0, 2, 5]], jnp.int32), (M, 1))
+    counts = jnp.asarray([3, 2], jnp.int32)
+    pa = 1 if qkind == 'int4' else None
+    w1q = quantize(w1t, qkind, keep_axes=(0,), pack_axis=pa)
+    w2q = quantize(w2, qkind, keep_axes=(0,), pack_axis=pa)
+
+    o8, c8 = csp_mlp_fused(x, w1q, b1, w2q, cache, out, inds, counts,
+                           bn=bn, bm=bm, interpret=True, a8=True)
+    ob, cb = csp_mlp_fused(x, w1q, b1, w2q, cache, out, inds, counts,
+                           bn=bn, bm=bm, interpret=True, a8=False)
+    # eager reference on the dequantized weights
+    w1d, w2d = dequant(w1q, jnp.float32), dequant(w2q, jnp.float32)
+    tinds = (inds[..., None] * bn + jnp.arange(bn)).reshape(M, -1)
+    o_ref, c_ref = mlp_ref.csp_mlp_ref(
+        x, w1d.T, b1, w2d, tinds.astype(jnp.int32), counts * bn,
+        cache, out, bm=bm,
+        act=lambda z: jax.nn.gelu(z, approximate=True))
+
+    def rel(a, b):
+        return float(np.linalg.norm(np.asarray(a - b)) /
+                     np.linalg.norm(np.asarray(b)))
+
+    # a8 vs the eager reference: bounded by quant noise
+    assert rel(o8, o_ref) < 2.5e-2, rel(o8, o_ref)
+    assert rel(c8, c_ref) < 2.5e-2, rel(c8, c_ref)
+    # a8's extra error over the bf16-activation quantized kernel is small
+    assert rel(o8, ob) < 1.5e-2, rel(o8, ob)
+
+
+def test_csp_mlp_a8_requires_quantized_weights():
+    from chipmunk_tpu.kernels.csp_mlp import csp_mlp_fused
+    T, C, N, bn, bm = 128, 128, 256, 128, 128
+    x = jnp.zeros((T, C))
+    w1t = jnp.zeros((N, C))
+    w2 = jnp.zeros((N, C))
+    with pytest.raises(AssertionError):
+        csp_mlp_fused(x, w1t, jnp.zeros((N,)), w2, jnp.zeros((T, N)),
+                      jnp.zeros((T, C)), jnp.zeros((1, 2), jnp.int32),
+                      jnp.ones((1,), jnp.int32), bn=bn, bm=bm,
+                      interpret=True, a8=True)
