@@ -45,6 +45,9 @@ def main():
     ap.add_argument('--depth', type=int, default=19)
     ap.add_argument('--depth-single', type=int, default=38)
     ap.add_argument('--profile', action='store_true')
+    ap.add_argument('--tiny', action='store_true',
+                    help='shrink hidden/heads/txt for a CPU smoke run '
+                         '(pipeline demo only; keeps head_dim=128)')
     ap.add_argument('--out', default='flux_latents.npy')
     args = ap.parse_args()
 
@@ -59,9 +62,11 @@ def main():
     h_img, w_img = height // 16, width // 16
 
     on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
+    tiny = (dict(hidden_size=256, num_heads=2, txt_len=128)
+            if args.tiny else {})
     model = FluxModelConfig(
         depth=args.depth, depth_single_blocks=args.depth_single,
-        dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32, **tiny)
     seq = model.txt_len + h_img * w_img
     sp = FluxSparse.build(ck, model, seq, use_kernels=on_tpu)
     sampler = FluxSampler(cfg=model, ck=ck, sp=sp, h_img=h_img, w_img=w_img,

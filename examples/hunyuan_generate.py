@@ -34,6 +34,9 @@ def main():
     # multi-host (DCN) bring-up — the analogue of the reference's
     # torchrun launcher flags (run_sample_video_multigpu.sh:34-46).  On
     # TPU pods all three autodetect; pass explicitly elsewhere.
+    ap.add_argument('--tiny', action='store_true',
+                    help='shrink hidden/heads/txt for a CPU smoke run '
+                         '(pipeline demo only; keeps head_dim=128)')
     ap.add_argument('--multihost', action='store_true')
     ap.add_argument('--coordinator', default=None)
     ap.add_argument('--num-processes', type=int, default=None)
@@ -54,10 +57,12 @@ def main():
     h, w = args.video_size
     lat_t = (args.video_length - 1) // 4 + 1
     on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
+    tiny = (dict(hidden_size=256, num_heads=2, txt_len=32)
+            if args.tiny else {})
     cfg = HunyuanModelConfig(
         latent_t=lat_t, latent_h=h // 8, latent_w=w // 8,
         depth_double=args.depth, depth_single=args.depth_single,
-        dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32, **tiny)
     model = HunyuanModel(cfg=cfg, ck=ck, use_kernels=on_tpu)
 
     print("initializing params (pass real weights via loaders for "

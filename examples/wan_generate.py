@@ -27,6 +27,9 @@ def main():
     ap.add_argument('--layers', type=int, default=30)
     ap.add_argument('--ckpt', default=None,
                     help='transformer .safetensors path (optional; random weights otherwise)')
+    ap.add_argument('--tiny', action='store_true',
+                    help='shrink dim/heads/ffn/txt for a CPU smoke run '
+                         '(pipeline demo only; keeps head_dim=128)')
     ap.add_argument('--out', default='wan_latents.npy')
     args = ap.parse_args()
 
@@ -37,10 +40,12 @@ def main():
 
     h, w = args.size
     on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
+    tiny = (dict(dim=256, num_heads=2, ffn_dim=1024, txt_len=32)
+            if args.tiny else {})
     cfg = WanModelConfig(
         latent_t=(args.frames - 1) // 4 + 1, latent_h=h // 8,
         latent_w=w // 8, num_layers=args.layers,
-        dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32, **tiny)
     model = WanModel(cfg=cfg, ck=ck, use_kernels=on_tpu)
 
     if args.ckpt:
