@@ -168,6 +168,7 @@ class HunyuanModel:
     ck: ChipmunkConfig
     use_kernels: bool = True
     interpret: bool = False
+    batch: int = 1           # MLP caches fold batch into the token axis
 
     def __post_init__(self):
         t, h, w = self.cfg.grid
@@ -200,7 +201,7 @@ class HunyuanModel:
         self.static_mask = mask
         self.sp = FluxSparse.build(
             self.ck, self.cfg.core(), self.seq_padded,
-            static_mask_tokens=jnp.asarray(mask),
+            static_mask_tokens=jnp.asarray(mask), batch=self.batch,
             valid_len=seq if pad else None,
             use_kernels=self.use_kernels, interpret=self.interpret)
 

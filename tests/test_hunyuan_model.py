@@ -180,3 +180,32 @@ def test_hunyuan_padded_forward_runs_all_step_kinds():
                                 key=jax.random.PRNGKey(i))
         assert pred.shape == lat.shape
         assert bool(jnp.isfinite(pred).all())
+
+
+def test_hunyuan_batch2_matches_two_singles():
+    """Batched generation (serving): a B=2 sparse denoise must equal two
+    independent B=1 runs — per-element selection/caches may not leak
+    across the batch.  random_keys=0 so selection is deterministic."""
+    import dataclasses
+    from chipmunk_tpu.models.hunyuan import HunyuanModel
+    from chipmunk_tpu.models.video_sampling import hunyuan_denoise
+    from chipmunk_tpu.models.sampling import get_schedule
+    m0 = tiny_hunyuan()
+    ck = m0.ck.replace(attn=dataclasses.replace(m0.ck.attn,
+                                                random_keys=0.0))
+    m = HunyuanModel(cfg=m0.cfg, ck=ck, use_kernels=False)
+    m2b = HunyuanModel(cfg=m0.cfg, ck=ck, use_kernels=False, batch=2)
+    params = init_hunyuan_params(jax.random.PRNGKey(0), m.cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    lat = jax.random.normal(ks[0], (2, 4, 8, 8, 16), jnp.float32)
+    txt = jax.random.normal(ks[1], (2, 128, 64), jnp.float32)
+    y = jax.random.normal(ks[2], (2, 32), jnp.float32)
+    ts = get_schedule(4, m.cfg.img_len, shift=False)
+    key = jax.random.PRNGKey(5)
+    out2 = hunyuan_denoise(m2b, params, lat, txt, y, ts, key=key)
+    outa = hunyuan_denoise(m, params, lat[:1], txt[:1], y[:1], ts, key=key)
+    outb = hunyuan_denoise(m, params, lat[1:], txt[1:], y[1:], ts, key=key)
+    np.testing.assert_allclose(np.asarray(out2[0]), np.asarray(outa[0]),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(out2[1]), np.asarray(outb[0]),
+                               atol=2e-4, rtol=2e-4)

@@ -102,3 +102,28 @@ def test_wan_compiled_loop_matches():
                                  key=jax.random.PRNGKey(5))
     np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_l),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_wan_batch2_matches_two_singles():
+    """Batched CFG generation: B=2 through the full wan_denoise loop must
+    equal two independent B=1 runs (per-element caches for BOTH the cond
+    and uncond invocation states)."""
+    from chipmunk_tpu.models.video_sampling import wan_denoise
+    m1 = tiny_wan()
+    # batched model: MLP caches fold batch into the token axis, so the
+    # module is built for B*seq tokens (static shapes — the TPU way)
+    m2 = WanModel(cfg=m1.cfg, ck=m1.ck, use_kernels=False, batch=2)
+    params = init_wan_params(jax.random.PRNGKey(0), m1.cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    lat = jax.random.normal(ks[0], (2, 4, 4, 8, 16), jnp.float32)
+    ctx_c = jax.random.normal(ks[1], (2, 64, 64), jnp.float32)
+    ctx_u = jax.random.normal(ks[2], (2, 64, 64), jnp.float32)
+    ts = jnp.linspace(1.0, 0.0, 5)
+    key = jax.random.PRNGKey(5)
+    out2 = wan_denoise(m2, params, lat, ctx_c, ctx_u, ts, key=key)
+    outa = wan_denoise(m1, params, lat[:1], ctx_c[:1], ctx_u[:1], ts, key=key)
+    outb = wan_denoise(m1, params, lat[1:], ctx_c[1:], ctx_u[1:], ts, key=key)
+    np.testing.assert_allclose(np.asarray(out2[0]), np.asarray(outa[0]),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(out2[1]), np.asarray(outb[0]),
+                               atol=2e-4, rtol=2e-4)
