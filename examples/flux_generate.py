@@ -44,6 +44,10 @@ def main():
                     help='flux1-dev.safetensors path (optional)')
     ap.add_argument('--depth', type=int, default=19)
     ap.add_argument('--depth-single', type=int, default=38)
+    ap.add_argument('--batch', type=int, default=1,
+                    help='images per generation (batched serving; each '
+                         'batch element gets independent noise and its '
+                         'own sparsity selections/caches)')
     ap.add_argument('--profile', action='store_true')
     ap.add_argument('--tiny', action='store_true',
                     help='shrink hidden/heads/txt for a CPU smoke run '
@@ -68,7 +72,9 @@ def main():
         depth=args.depth, depth_single_blocks=args.depth_single,
         dtype=jnp.bfloat16 if on_tpu else jnp.float32, **tiny)
     seq = model.txt_len + h_img * w_img
-    sp = FluxSparse.build(ck, model, seq, use_kernels=on_tpu)
+    B = max(1, args.batch)
+    # MLP caches fold batch into the token axis -> static shapes per B
+    sp = FluxSparse.build(ck, model, seq, batch=B, use_kernels=on_tpu)
     sampler = FluxSampler(cfg=model, ck=ck, sp=sp, h_img=h_img, w_img=w_img,
                           use_patchify=ck.patchify.is_enabled)
 
@@ -87,20 +93,23 @@ def main():
 
     key = jax.random.PRNGKey(args.seed)
     ks = jax.random.split(key, 3)
-    img = jax.random.normal(ks[0], (1, h_img * w_img, 64), model.dtype)
+    img = jax.random.normal(ks[0], (B, h_img * w_img, 64), model.dtype)
     if args.prompt and args.t5 and args.clip:
         from chipmunk_tpu.models.encoders import TextEncoders
         enc = TextEncoders(t5_path=args.t5, clip_path=args.clip,
                            max_length=model.txt_len)
-        txt, y_enc = enc.embed([args.prompt])
+        # '|'-separated prompts fill the batch; the last one repeats
+        prompts = [p.strip() for p in args.prompt.split('|')]
+        prompts = (prompts + [prompts[-1]] * B)[:B]
+        txt, y_enc = enc.embed(prompts)
         enc.release()
         txt = txt.astype(model.dtype)
     else:
-        txt = jnp.zeros((1, model.txt_len, 4096), model.dtype)
+        txt = jnp.zeros((B, model.txt_len, 4096), model.dtype)
     if args.prompt and args.t5 and args.clip:
         y = y_enc.astype(model.dtype)
     else:
-        y = jnp.zeros((1, 768), model.dtype)
+        y = jnp.zeros((B, 768), model.dtype)
     ts = get_schedule(args.steps, h_img * w_img)
 
     timer = StepTimer()
@@ -116,20 +125,22 @@ def main():
         from chipmunk_tpu.models.autoencoder import decode
         from chipmunk_tpu.models.loaders import load_ae_decoder_safetensors
         ae = load_ae_decoder_safetensors(args.ae)
-        z = np.asarray(out, np.float32).reshape(1, h_img, w_img, 16, 2, 2)
-        z = z.transpose(0, 3, 1, 4, 2, 5).reshape(1, 16, 2 * h_img,
+        z = np.asarray(out, np.float32).reshape(B, h_img, w_img, 16, 2, 2)
+        z = z.transpose(0, 3, 1, 4, 2, 5).reshape(B, 16, 2 * h_img,
                                                   2 * w_img)
         imgpx = decode(ae, jnp.asarray(z))
-        arr = np.asarray(imgpx, np.float32)[0].transpose(1, 2, 0)
-        arr = np.clip((arr + 1) * 127.5, 0, 255).astype(np.uint8)
-        png = args.out.rsplit('.', 1)[0] + '.png'
-        try:
-            from PIL import Image
-            Image.fromarray(arr).save(png)
-            print(f"image -> {png}")
-        except Exception:
-            np.save(png + '.npy', arr)
-            print(f"image array -> {png}.npy")
+        for bi in range(B):
+            arr = np.asarray(imgpx, np.float32)[bi].transpose(1, 2, 0)
+            arr = np.clip((arr + 1) * 127.5, 0, 255).astype(np.uint8)
+            stem = args.out.rsplit('.', 1)[0]
+            png = f"{stem}.png" if B == 1 else f"{stem}_{bi}.png"
+            try:
+                from PIL import Image
+                Image.fromarray(arr).save(png)
+                print(f"image -> {png}")
+            except Exception:
+                np.save(png + '.npy', arr)
+                print(f"image array -> {png}.npy")
     np.save(args.out, np.asarray(out, np.float32))
     timer.log()
     print(f"latents -> {args.out}  ({width}x{height}, {args.steps} steps)")
