@@ -39,6 +39,15 @@ def main():
     # 480x832x81 frames -> latent (21, 60, 104) -> seq 32,760 (the real
     # Wan2.1-1.3B default, reference text2video.py)
     ap.add_argument('--latent', type=int, nargs=3, default=[21, 60, 104])
+    ap.add_argument('--local-voxels', type=int, default=None,
+                    help='override attn.local_voxels (the reference ships '
+                         '5, whose static cube selects ~59% of KV at this '
+                         'grid and trips the TPU dense-fallback gate; '
+                         'smaller cubes re-enable sparse attention — '
+                         'quality-gated in QUALITY.md)')
+    ap.add_argument('--dense-s', type=float, default=None,
+                    help='reuse a previously measured dense wall-clock '
+                         '(seconds) instead of re-running the dense side')
     args = ap.parse_args()
     on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
     lt, lh, lw = args.latent
@@ -50,6 +59,10 @@ def main():
 
     sparse_ck = load_config('configs/wan-chipmunk.yml').replace(
         steps=args.steps)
+    if args.local_voxels is not None:
+        import dataclasses
+        sparse_ck = sparse_ck.replace(attn=dataclasses.replace(
+            sparse_ck.attn, local_voxels=args.local_voxels))
     dense_ck = config_from_dict({
         'steps': args.steps,
         'num_model_invocations_per_inference_step': 2,
@@ -83,7 +96,7 @@ def main():
             best = min(best, dt)
         return best
 
-    t_d = run(dense_ck, 'dense')
+    t_d = args.dense_s if args.dense_s else run(dense_ck, 'dense')
     t_s = run(sparse_ck, 'sparse')
     log(f"dense {t_d:.2f}s sparse {t_s:.2f}s -> {t_d/t_s:.3f}x")
     print(json.dumps({
@@ -91,6 +104,9 @@ def main():
         "seq": cfg.seq_len, "layers": args.layers,
         "dense_s": round(t_d, 2), "sparse_s": round(t_s, 2),
         "speedup": round(t_d / t_s, 3),
+        "local_voxels": (args.local_voxels if args.local_voxels is not None
+                         else sparse_ck.attn.local_voxels),
+        "dense_reused": args.dense_s is not None,
         "note": "full 30-layer Wan2.1-1.3B shapes, CFG 2 invocations/step; "
                 "reference publishes no Wan numbers (BASELINE.md)"}))
 

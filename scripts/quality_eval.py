@@ -304,7 +304,12 @@ def run_wan(args):
     from chipmunk_tpu.models.sampling import get_schedule
     on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    cfg = WanModelConfig(latent_t=9, latent_h=30, latent_w=52,
+    # default latent = the REAL Wan2.1-1.3B grid (21,60,104 -> seq 32,760)
+    # so the static-mask selection fraction matches the operating point
+    # (at toy grids the local-voxel cube covers most of the sequence and
+    # flatters sparse quality); depth is the reduced proxy dimension
+    lt, lh, lw = args.latent if args.latent else (21, 60, 104)
+    cfg = WanModelConfig(latent_t=lt, latent_h=lh, latent_w=lw,
                          num_layers=args.depth[0] + args.depth[1],
                          dtype=dtype)
     params = init_wan_params(jax.random.PRNGKey(0), cfg)
@@ -329,9 +334,15 @@ def run_wan(args):
     ref = denoise(dense_ck)
     ship = load_config('configs/wan-chipmunk.yml').replace(steps=args.steps)
     ablations = {
-        'wan-shipped': {},
+        # at lv=5 the dense_fallback_frac gate makes attention exact
+        # dense -> deviation below is pure step caching
+        'wan-shipped(lv5)': {},
         'top_keys=0.05': {'attn': {'top_keys': 0.05}},
+        # smaller static cubes pass the fallback gate -> csp attention
+        # actually runs (the TPU-native operating point candidates;
+        # static fractions at the real grid: lv3 0.109, lv2 0.096)
         'local_voxels=3': {'attn': {'local_voxels': 3}},
+        'local_voxels=2': {'attn': {'local_voxels': 2}},
     }
     print("name\tcosine\tpsnr_db\trel_l2", flush=True)
     for name, extra in ablations.items():
@@ -351,6 +362,9 @@ if __name__ == '__main__':
     ap.add_argument('--only', default=None,
                     help='comma list: run only these ablation names')
     ap.add_argument('--depth', type=int, nargs=2, default=[4, 8])
+    ap.add_argument('--latent', type=int, nargs=3, default=None,
+                    help='wan: latent (t,h,w); default 21 60 104 (the '
+                         'real seq-32,760 grid)')
     ap.add_argument('--attn-quant', default='int4',
                     choices=['int4', 'int8'],
                     help='flux-full attn/mod weight storage')
