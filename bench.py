@@ -70,7 +70,8 @@ def _build(depth, depth_single, quantize):
     return model, params, on_tpu
 
 
-def run_flux(depth, depth_single, quantize, cache_dtypes, trials=3):
+def run_flux(depth, depth_single, quantize, cache_dtypes, trials=3,
+             side='both'):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -132,18 +133,49 @@ def run_flux(depth, depth_single, quantize, cache_dtypes, trials=3):
         assert np.isfinite(float(np.asarray(out).astype(np.float32).std()))
         return best
 
-    t_dense = run(dense_ck, f"dense[{depth}+{depth_single}]")
-    t_sparse = run(sparse_ck, f"sparse[{depth}+{depth_single}]")
+    t_dense = (run(dense_ck, f"dense[{depth}+{depth_single}]")
+               if side in ('both', 'dense') else None)
+    t_sparse = (run(sparse_ck, f"sparse[{depth}+{depth_single}]")
+                if side in ('both', 'sparse') else None)
     return t_dense, t_sparse
 
 
+def _run_side_subprocess(side, timeout=2400):
+    """Run one side of the full-depth bench in its own process: the tunnel
+    pins prior programs' argument buffers, so dense-then-sparse in ONE
+    process can RESOURCE_EXHAUST on the sparse side (observed; same reason
+    scripts/bench_hunyuan.py has --side).  Each side gets a fresh heap."""
+    import subprocess
+    cmd = [sys.executable, os.path.abspath(__file__), '--side', side]
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
+    sys.stderr.write(p.stderr)
+    lines = [l for l in p.stdout.strip().splitlines() if l.startswith('{')]
+    if p.returncode != 0 or not lines:
+        raise RuntimeError(f"{side} side failed (rc={p.returncode})")
+    return json.loads(lines[-1])['t']
+
+
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--side', default=None, choices=['dense', 'sparse'],
+                    help='internal: run one full-depth side and print '
+                         '{"side", "t"}')
+    args = ap.parse_args()
     _enable_compile_cache()
+    if args.side:
+        t_d, t_s = run_flux(19, 38, quantize=True, cache_dtypes=True,
+                            side=args.side)
+        print(json.dumps({"side": args.side,
+                          "t": t_d if args.side == 'dense' else t_s}))
+        return
     detail = {}
     # ---- primary: FULL-depth FLUX (19+38, 11.9B params, quantized
-    # residency; VERDICT r1 item 3)
+    # residency; VERDICT r1 item 3); one subprocess per side so each
+    # gets a fresh device heap
     try:
-        t_d, t_s = run_flux(19, 38, quantize=True, cache_dtypes=True)
+        t_d = _run_side_subprocess('dense')
+        t_s = _run_side_subprocess('sparse')
         speedup = t_d / t_s
         detail['full_depth'] = {'dense_s': round(t_d, 3),
                                 'sparse_s': round(t_s, 3)}
