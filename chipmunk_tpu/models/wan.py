@@ -30,7 +30,7 @@ from ..config import ChipmunkConfig
 from ..modules import SparseDiffAttn, SparseDiffMlp, AttnState, MlpState
 from ..ops.voxel import (voxel_order, inverse_voxel_order,
                          get_local_indices_with_text)
-from .flux import FluxStep, _attn_call, _mlp_call
+from .flux import FluxStep, _attn_call, _mlp_call, _tree_at, _tree_put
 from .layers import (apply_rope, build_rope, init_linear, layernorm, linear,
                      rmsnorm, timestep_embedding)
 
@@ -238,9 +238,16 @@ class WanModel:
         pe = pe if pe is not None else self.rope(B)
         cos, sin = pe
 
+        # Per-layer cache state rides the CARRY and is sliced/written in
+        # place with dynamic_update_index_in_dim (XLA aliases it inside the
+        # while loop) — scanning it as xs/ys would allocate a second full
+        # stacked state buffer per step (~2x3GB transient at Wan-1.3B/32k;
+        # fatal at 14B), the exact pattern flux_forward refuses
+        # (flux.py:443-447).
         def body(carry, xs):
-            x = carry
-            p, ast, mst, idx = xs
+            x, s_attn, s_mlp = carry
+            p, idx = xs
+            ast, mst = _tree_at(s_attn, idx), _tree_at(s_mlp, idx)
             lkey = jax.random.fold_in(key, idx)
             mod = e6[:, :, None, :] + p['mod_bias'][None, :, None, :]
             # self attention
@@ -284,11 +291,12 @@ class WanModel:
                                  p['w2'], p['b2'], mst, step, mlp_dense,
                                  jax.random.fold_in(lkey, 1))
             x = x + mod[:, 5] * mo.reshape(x.shape)
-            return x, (ast2, mst2)
+            return (x, _tree_put(s_attn, ast2, idx),
+                    _tree_put(s_mlp, mst2, idx)), None
 
         idx = jnp.arange(cfg.num_layers)
-        x, (a2, m2) = jax.lax.scan(
-            body, x, (params['blocks'], state.attn, state.mlp, idx))
+        (x, a2, m2), _ = jax.lax.scan(
+            body, (x, state.attn, state.mlp), (params['blocks'], idx))
 
         hm = params['head_mod']
         x = (1 + hm[1][None, None]) * layernorm(x) + hm[0][None, None]

@@ -38,6 +38,19 @@ def main():
               {'num_model_invocations_per_inference_step': 2}))
     ck = ck.replace(steps=args.steps)
 
+    # Wan has no streamed runner: 1.3B + chipmunk state fit resident on
+    # one chip and streaming is a measured loss wherever residency fits
+    # (BENCH_HUNYUAN.json xl-streamed).  Refuse silently-inert config.
+    from chipmunk_tpu.utils.offload import OffloadPolicy
+    policy = OffloadPolicy.from_config(ck.offloading)
+    wanted = [n for n in ('attn_out_cache', 'attn_indices', 'attn_counts',
+                          'mlp_out_cache', 'mlp_act_cache')
+              if policy.enabled and policy.wants_host(n)]
+    if wanted:
+        print(f"WARNING: offloading keys {wanted} are ignored for Wan "
+              f"(model fits resident; no streamed runner — see "
+              f"configs/wan-chipmunk.yml note)", file=sys.stderr)
+
     h, w = args.size
     on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
     tiny = (dict(dim=256, num_heads=2, ffn_dim=1024, txt_len=32)

@@ -46,7 +46,8 @@ def test_colsum_attn_kernel():
 
 
 @pytest.mark.parametrize('kv_block,mode', [(128, 'vmem'), (32, 'vmem'),
-                                           (128, 'hbm'), (32, 'hbm')])
+                                           (128, 'hbm'), (32, 'hbm'),
+                                           (128, 'direct'), (32, 'direct')])
 def test_csp_attn_kernel_vs_ref(kv_block, mode):
     q, k, v = rand_qkv(s=512)
     B, H, S, D = q.shape
@@ -125,7 +126,7 @@ def test_csp_mlp_full_indices_equals_dense_delta():
     np.testing.assert_allclose(new_out, out1, atol=1e-2, rtol=1e-2)
 
 
-@pytest.mark.parametrize('mode', ['vmem', 'hbm'])
+@pytest.mark.parametrize('mode', ['vmem', 'hbm', 'direct'])
 def test_csp_attn_kv_valid_excludes_pad(mode):
     """Keys past kv_valid (model-level padding tail) must not contribute:
     perturbing them wildly cannot change the output, and the result matches
