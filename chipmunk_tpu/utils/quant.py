@@ -248,7 +248,7 @@ def quantize_host(w, kind: str, keep_axes, pack_axis=None) -> QTensor:
 def synth_quantized_params(seed: int, shapes,
                            spec: QuantSpec = QuantSpec(
                                attn='int4', mod='int4',
-                               mlp_sparse='fp8', mlp_dense='int4')):
+                               mlp_sparse='int8', mlp_dense='int4')):
     """Synthesize a quantized param tree DIRECTLY on the host from a
     jax.eval_shape tree (random bytes in the quantized representations;
     scales set to fan-in-normalized constants) and device_put the
@@ -339,7 +339,7 @@ def synth_quantized_params(seed: int, shapes,
 def synth_quantized_flux_params(seed: int, model,
                                 spec: QuantSpec = QuantSpec(
                                     attn='int4', mod='int4',
-                                    mlp_sparse='fp8', mlp_dense='int4')):
+                                    mlp_sparse='int8', mlp_dense='int4')):
     from ..models import init_flux_params
     shapes = jax.eval_shape(lambda k: init_flux_params(k, model),
                             jax.random.PRNGKey(0))

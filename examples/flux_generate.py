@@ -100,6 +100,9 @@ def main():
                            max_length=model.txt_len)
         # '|'-separated prompts fill the batch; the last one repeats
         prompts = [p.strip() for p in args.prompt.split('|')]
+        if len(prompts) > B:
+            print(f"WARNING: {len(prompts)} prompts but --batch {B}; "
+                  f"dropping the last {len(prompts) - B}", file=sys.stderr)
         prompts = (prompts + [prompts[-1]] * B)[:B]
         txt, y_enc = enc.embed(prompts)
         enc.release()
@@ -129,8 +132,9 @@ def main():
         z = z.transpose(0, 3, 1, 4, 2, 5).reshape(B, 16, 2 * h_img,
                                                   2 * w_img)
         imgpx = decode(ae, jnp.asarray(z))
+        pix = np.asarray(imgpx, np.float32)
         for bi in range(B):
-            arr = np.asarray(imgpx, np.float32)[bi].transpose(1, 2, 0)
+            arr = pix[bi].transpose(1, 2, 0)
             arr = np.clip((arr + 1) * 127.5, 0, 255).astype(np.uint8)
             stem = args.out.rsplit('.', 1)[0]
             png = f"{stem}.png" if B == 1 else f"{stem}_{bi}.png"

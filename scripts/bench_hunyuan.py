@@ -72,9 +72,14 @@ def bench_one(name, steps=50, trials=1, side='both', loop='host'):
         # host-side synthesis: device-side init+quantize churn degrades
         # the tunnel allocator (utils/quant.quantize_host docstring)
         shapes = jax.eval_shape(lambda k: init_hunyuan_params(k, cfg), key)
+        # int4 MLP weights (was fp8 in r3): Hunyuan's MLP sparsity is off,
+        # so these are only dense-matmul-consumed (dequant fuses), and
+        # int4 halves the dominant param bytes — the residency shrink that
+        # lets FULL 20+40 depth fit the 15.75GiB chip WITHOUT the streamed
+        # runner (VERDICT r3 next #1)
         params = synth_quantized_params(
             0, shapes, QuantSpec(attn='int4', mod='int4',
-                                 mlp_sparse='fp8', mlp_dense='fp8'))
+                                 mlp_sparse='int4', mlp_dense='int4'))
     else:
         params = init_hunyuan_params(key, cfg)
 

@@ -96,7 +96,12 @@ def main():
             best = min(best, dt)
         return best
 
-    t_d = args.dense_s if args.dense_s else run(dense_ck, 'dense')
+    if args.dense_s is not None:
+        log(f"dense: reusing supplied wall-clock {args.dense_s:.2f}s "
+            f"(--dense-s; not re-measured this run)")
+        t_d = args.dense_s
+    else:
+        t_d = run(dense_ck, 'dense')
     t_s = run(sparse_ck, 'sparse')
     log(f"dense {t_d:.2f}s sparse {t_s:.2f}s -> {t_d/t_s:.3f}x")
     print(json.dumps({

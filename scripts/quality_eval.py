@@ -33,6 +33,21 @@ import jax.numpy as jnp
 from chipmunk_tpu.config import config_from_dict
 
 
+def filter_only(ablations, args, aliases=None):
+    """--only filter that FAILS LOUDLY on names matching no ablation
+    (a silent skip hides typos and renames — ADVICE r3).  ``aliases``
+    maps old names kept for CLI compatibility to current ones."""
+    if not getattr(args, 'only', None):
+        return ablations
+    aliases = aliases or {}
+    keep = {aliases.get(k, k) for k in args.only.split(',')}
+    unknown = keep - set(ablations)
+    if unknown:
+        raise SystemExit(f"--only: unknown ablation names {sorted(unknown)}"
+                         f"; available: {sorted(ablations)}")
+    return {k: v for k, v in ablations.items() if k in keep}
+
+
 def metrics(a, b):
     a = np.asarray(a, np.float64).ravel()
     b = np.asarray(b, np.float64).ravel()
@@ -113,9 +128,7 @@ def run_flux(args):
             'mlp': dict(base_mlp, act_cache_dtype='float8_e4m3fn'),
             'step_caching': {'is_enabled': True}},
     }
-    if getattr(args, 'only', None):
-        keep = set(args.only.split(','))
-        ablations = {k: v for k, v in ablations.items() if k in keep}
+    ablations = filter_only(ablations, args)
     print("name\tcosine\tpsnr_db\trel_l2", flush=True)
     for name, cfg in ablations.items():
         cfg = dict(cfg)
@@ -218,9 +231,7 @@ def run_flux_full(args):
                     if not k.endswith('cache_dtype')},
             'step_caching': {'is_enabled': True}},
     }
-    if getattr(args, 'only', None):
-        keep = set(args.only.split(','))
-        ablations = {k: v for k, v in ablations.items() if k in keep}
+    ablations = filter_only(ablations, args)
     print("name\tcosine\tpsnr_db\trel_l2", flush=True)
     for name, cfg in ablations.items():
         cfg = dict(cfg)
@@ -334,16 +345,19 @@ def run_wan(args):
     ref = denoise(dense_ck)
     ship = load_config('configs/wan-chipmunk.yml').replace(steps=args.steps)
     ablations = {
-        # at lv=5 the dense_fallback_frac gate makes attention exact
-        # dense -> deviation below is pure step caching
+        # r4: the direct block-sparse kernel raised the dense-fallback
+        # gate to 0.85, so at lv=5 chipmunk attention ACTUALLY RUNS —
+        # this row measures step caching + csp sparsity at the shipped
+        # operating point (it measured pure step caching in r3)
         'wan-shipped(lv5)': {},
         'top_keys=0.05': {'attn': {'top_keys': 0.05}},
-        # smaller static cubes pass the fallback gate -> csp attention
-        # actually runs (the TPU-native operating point candidates;
-        # static fractions at the real grid: lv3 0.109, lv2 0.096)
+        # smaller static cubes = lower selection density (lv3 0.109,
+        # lv2 0.096 static fraction at the real grid)
         'local_voxels=3': {'attn': {'local_voxels': 3}},
         'local_voxels=2': {'attn': {'local_voxels': 2}},
     }
+    ablations = filter_only(ablations, args,
+                            aliases={'wan-shipped': 'wan-shipped(lv5)'})
     print("name\tcosine\tpsnr_db\trel_l2", flush=True)
     for name, extra in ablations.items():
         ck = config_from_dict(extra, ship) if extra else ship

@@ -70,9 +70,11 @@ def test_is_fp8_config_wires_fc1():
     rel = (np.abs(np.asarray(y8 - ref)).mean()
            / (np.abs(np.asarray(ref)).mean() + 1e-9))
     assert rel < 0.15, rel
-    # and the spec mapping quantizes exactly the reference's linear set
+    # and the spec mapping quantizes exactly the reference's linear set —
+    # sparse-kernel weights as int8 (fp8 is a measured kernel perf trap,
+    # VERDICT r3 weak #5), dense txt MLPs as true fp8
     spec = quant_spec_for_is_fp8()
-    assert spec.mlp_sparse == 'fp8' and spec.mlp_dense == 'fp8'
+    assert spec.mlp_sparse == 'int8' and spec.mlp_dense == 'fp8'
     assert spec.attn is None and spec.mod is None
 
 
@@ -88,9 +90,13 @@ def test_loader_is_fp8_produces_qtensors():
     sd = synth_state_dict(cfg, np.random.default_rng(0))
     ck = config_from_dict({'mlp': {'is_fp8': True}})
     p = load_flux_params(sd, cfg, ck=ck)
+    # sparse-kernel-consumed weights: int8 (never fp8 — kernel perf trap)
     assert isinstance(p['double']['img_w1t'], QTensor)
-    assert p['double']['img_w1t'].q.dtype == jnp.float8_e4m3fn
+    assert p['double']['img_w1t'].q.dtype == jnp.int8
     assert isinstance(p['single']['w2'], QTensor)
+    assert p['single']['w2'].q.dtype == jnp.int8
+    # dense txt MLP weights: true fp8
+    assert p['double']['txt_w1t'].q.dtype == jnp.float8_e4m3fn
     assert not isinstance(p['double']['img_qkv']['w'], QTensor)
     # without ck: plain arrays
     p0 = load_flux_params(sd, cfg)

