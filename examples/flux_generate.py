@@ -17,6 +17,14 @@ import time
 sys.path.insert(0, __file__.rsplit('/', 2)[0])
 
 import jax
+
+# Honor JAX_PLATFORMS even under the axon TPU-tunnel plugin, which
+# force-sets jax_platforms at interpreter start (the env var alone is
+# ignored there).  Lets CI / CPU smokes drive this CLI off-chip:
+# JAX_PLATFORMS=cpu python examples/<cli>.py --tiny ...
+import os as _os
+if _os.environ.get('JAX_PLATFORMS'):
+    jax.config.update('jax_platforms', _os.environ['JAX_PLATFORMS'])
 import jax.numpy as jnp
 
 from chipmunk_tpu.config import load_config, ChipmunkConfig

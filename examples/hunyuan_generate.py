@@ -8,6 +8,14 @@ import time
 sys.path.insert(0, __file__.rsplit('/', 2)[0])
 
 import jax
+
+# Honor JAX_PLATFORMS even under the axon TPU-tunnel plugin, which
+# force-sets jax_platforms at interpreter start (the env var alone is
+# ignored there).  Lets CI / CPU smokes drive this CLI off-chip:
+# JAX_PLATFORMS=cpu python examples/<cli>.py --tiny ...
+import os as _os
+if _os.environ.get('JAX_PLATFORMS'):
+    jax.config.update('jax_platforms', _os.environ['JAX_PLATFORMS'])
 import jax.numpy as jnp
 
 from chipmunk_tpu.config import load_config, ChipmunkConfig
@@ -30,6 +38,11 @@ def main():
     ap.add_argument('--depth-single', type=int, default=40)
     ap.add_argument('--ckpt', default=None,
                     help='transformer .safetensors path (optional; random weights otherwise)')
+    ap.add_argument('--vae', default=None,
+                    help='causal-3D VAE .safetensors path; decodes latents '
+                         'to pixel frames (reference sample_video.py decode '
+                         'step). Pass "random" to smoke the decode path '
+                         'with synthesized weights.')
     ap.add_argument('--out', default='hunyuan_latents.npy')
     # multi-host (DCN) bring-up — the analogue of the reference's
     # torchrun launcher flags (run_sample_video_multigpu.sh:34-46).  On
@@ -100,8 +113,23 @@ def main():
     jax.block_until_ready(out)
     print(f"done in {time.perf_counter()-t0:.1f}s")
     import numpy as np
-    np.save(args.out, np.asarray(out, np.float32))
-    print(f"latents -> {args.out}")
+    if args.vae:
+        from chipmunk_tpu.models.video_vae import (
+            HyVaeConfig, hunyuan_vae_decode, init_hunyuan_vae_decoder,
+            load_hunyuan_vae_safetensors)
+        vcfg = HyVaeConfig()
+        vp = (init_hunyuan_vae_decoder(jax.random.PRNGKey(7), vcfg)
+              if args.vae == 'random'
+              else load_hunyuan_vae_safetensors(args.vae, vcfg))
+        pix = hunyuan_vae_decode(vp, out.astype(jnp.float32), vcfg)
+        # [-1,1] -> uint8 frames [B, 3, T, H, W]
+        frames = np.asarray(jnp.clip((pix + 1.0) * 127.5, 0, 255)
+                            ).astype(np.uint8)
+        np.save(args.out, frames)
+        print(f"pixels {frames.shape} -> {args.out}")
+    else:
+        np.save(args.out, np.asarray(out, np.float32))
+        print(f"latents -> {args.out}")
 
 
 if __name__ == '__main__':

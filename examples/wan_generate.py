@@ -8,6 +8,14 @@ import time
 sys.path.insert(0, __file__.rsplit('/', 2)[0])
 
 import jax
+
+# Honor JAX_PLATFORMS even under the axon TPU-tunnel plugin, which
+# force-sets jax_platforms at interpreter start (the env var alone is
+# ignored there).  Lets CI / CPU smokes drive this CLI off-chip:
+# JAX_PLATFORMS=cpu python examples/<cli>.py --tiny ...
+import os as _os
+if _os.environ.get('JAX_PLATFORMS'):
+    jax.config.update('jax_platforms', _os.environ['JAX_PLATFORMS'])
 import jax.numpy as jnp
 
 from chipmunk_tpu.config import load_config, ChipmunkConfig, config_from_dict
@@ -27,6 +35,11 @@ def main():
     ap.add_argument('--layers', type=int, default=30)
     ap.add_argument('--ckpt', default=None,
                     help='transformer .safetensors path (optional; random weights otherwise)')
+    ap.add_argument('--vae', default=None,
+                    help='Wan VAE checkpoint (.pth/.safetensors); decodes '
+                         'latents to pixel frames (reference text2video.py '
+                         'vae.decode step). Pass "random" to smoke the '
+                         'decode path with synthesized weights.')
     ap.add_argument('--tiny', action='store_true',
                     help='shrink dim/heads/ffn/txt for a CPU smoke run '
                          '(pipeline demo only; keeps head_dim=128)')
@@ -80,8 +93,20 @@ def main():
     jax.block_until_ready(out)
     print(f"done in {time.perf_counter()-t0:.1f}s")
     import numpy as np
-    np.save(args.out, np.asarray(out, np.float32))
-    print(f"latents -> {args.out}")
+    if args.vae:
+        from chipmunk_tpu.models.video_vae import (
+            WanVaeConfig, wan_vae_decode, init_wan_vae_decoder, load_wan_vae)
+        vcfg = WanVaeConfig()
+        vp = (init_wan_vae_decoder(jax.random.PRNGKey(7), vcfg)
+              if args.vae == 'random' else load_wan_vae(args.vae, vcfg))
+        pix = wan_vae_decode(vp, out.astype(jnp.float32), vcfg)
+        frames = np.asarray(jnp.clip((pix + 1.0) * 127.5, 0, 255)
+                            ).astype(np.uint8)
+        np.save(args.out, frames)
+        print(f"pixels {frames.shape} -> {args.out}")
+    else:
+        np.save(args.out, np.asarray(out, np.float32))
+        print(f"latents -> {args.out}")
 
 
 if __name__ == '__main__':

@@ -1,0 +1,117 @@
+"""Real-checkpoint drill (VERDICT r3 next #7): write synthesized
+reference-layout checkpoints to ACTUAL .safetensors files and drive each
+example CLI end-to-end through its --ckpt path at tiny shapes, so real
+weights are a pure drop-in (the reference's CLIs load from disk:
+flux cli.py --model, hyvideo sample_video.py --model-base,
+wan generate.py --ckpt_dir).
+
+These run the CLIs as subprocesses — the same entry a user hits — with
+JAX_PLATFORMS=cpu (the CLIs honor it even under the axon plugin).
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import safetensors.numpy
+
+from test_loaders import (synth_state_dict, synth_hunyuan_state_dict,
+                          synth_wan_state_dict)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(script, args, tmp_path):
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    env.pop('XLA_FLAGS', None)      # no need for 8 virtual devices here
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'examples', script), *args],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    return r
+
+
+def check_latents(path, shape_prefix=None):
+    out = np.load(path)
+    assert np.isfinite(out).all()
+    assert out.std() > 0
+    return out
+
+
+def test_flux_cli_safetensors_ckpt(tmp_path):
+    from chipmunk_tpu.models import FluxModelConfig
+    rng = np.random.default_rng(0)
+    # the exact cfg flux_generate.py --tiny builds (hidden 256, heads 2,
+    # txt_len 128) at --depth 1 --depth-single 2
+    cfg = FluxModelConfig(depth=1, depth_single_blocks=2,
+                          hidden_size=256, num_heads=2, txt_len=128)
+    sd = synth_state_dict(cfg, rng)
+    ck = tmp_path / 'flux_tiny.safetensors'
+    safetensors.numpy.save_file(sd, str(ck))
+    out = tmp_path / 'lat.npy'
+    run_cli('flux_generate.py',
+            ['--tiny', '--ckpt', str(ck), '--depth', '1',
+             '--depth-single', '2', '--steps', '2',
+             '--width', '256', '--height', '256', '--out', str(out)],
+            tmp_path)
+    check_latents(out)
+
+
+def test_hunyuan_cli_safetensors_ckpt(tmp_path):
+    from chipmunk_tpu.models.hunyuan import HunyuanModelConfig
+    rng = np.random.default_rng(1)
+    # mirrors hunyuan_generate.py --tiny at --video-size 128 128
+    # --video-length 5 --depth 1 --depth-single 2
+    cfg = HunyuanModelConfig(latent_t=2, latent_h=16, latent_w=16,
+                             depth_double=1, depth_single=2,
+                             hidden_size=256, num_heads=2, txt_len=32)
+    sd = synth_hunyuan_state_dict(cfg, rng)
+    ck = tmp_path / 'hy_tiny.safetensors'
+    safetensors.numpy.save_file(sd, str(ck))
+    out = tmp_path / 'lat.npy'
+    run_cli('hunyuan_generate.py',
+            ['--tiny', '--ckpt', str(ck), '--depth', '1',
+             '--depth-single', '2', '--steps', '2',
+             '--video-size', '128', '128', '--video-length', '5',
+             '--out', str(out)],
+            tmp_path)
+    check_latents(out)
+
+
+def test_wan_cli_safetensors_ckpt(tmp_path):
+    from chipmunk_tpu.models.wan import WanModelConfig
+    rng = np.random.default_rng(2)
+    # mirrors wan_generate.py --tiny at --size 128 128 --frames 5
+    # --layers 2
+    cfg = WanModelConfig(latent_t=2, latent_h=16, latent_w=16,
+                         num_layers=2, dim=256, num_heads=2,
+                         ffn_dim=1024, txt_len=32)
+    sd = synth_wan_state_dict(cfg, rng)
+    ck = tmp_path / 'wan_tiny.safetensors'
+    safetensors.numpy.save_file(sd, str(ck))
+    out = tmp_path / 'lat.npy'
+    run_cli('wan_generate.py',
+            ['--tiny', '--ckpt', str(ck), '--layers', '2', '--steps', '2',
+             '--size', '128', '128', '--frames', '5', '--out', str(out)],
+            tmp_path)
+    check_latents(out)
+
+
+@pytest.mark.parametrize('cli,flags', [
+    ('hunyuan_generate.py',
+     ['--tiny', '--depth', '1', '--depth-single', '2', '--steps', '2',
+      '--video-size', '128', '128', '--video-length', '5',
+      '--vae', 'random']),
+    ('wan_generate.py',
+     ['--tiny', '--layers', '2', '--steps', '2', '--size', '128', '128',
+      '--frames', '5', '--vae', 'random']),
+])
+def test_video_cli_vae_decode_smoke(cli, flags, tmp_path):
+    """--vae random drives the full latents->pixels decode path (the
+    reference CLIs end in pixels; ours must too, VERDICT r3 next #6)."""
+    out = tmp_path / 'px.npy'
+    run_cli(cli, [*flags, '--out', str(out)], tmp_path)
+    px = np.load(out)
+    assert px.dtype == np.uint8
+    assert px.ndim == 5 and px.shape[1] == 3      # [B, 3, T, H, W]
