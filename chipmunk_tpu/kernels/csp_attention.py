@@ -51,15 +51,14 @@ MAX_KV_BLOCK = 128   # gather granule upper bound (one MXU tile)
 # keeps S=32k (Wan-scale) heads VMEM-resident: measured 43.7ms vs 65ms
 # for the HBM-gather mode at 59% selection (round 3)
 VMEM_LIMIT = 100 * 1024 * 1024
-# selection density (jmax / n_kv_blocks) above which the auto dispatcher
-# prefers the direct in-place kernel over the gather modes (microbenched
-# crossover, docs/DESIGN.md "Direct block-sparse flash")
-DIRECT_FRAC = 0.30
-# dense-fallback threshold that applies when the direct kernel is in play
-# (modules/attn.py cost gate): direct csp time scales ~linearly with
-# selection density, so it keeps beating dense until density approaches 1
-# minus per-block loop overhead (microbenched, docs/DESIGN.md)
-DIRECT_DENSE_FALLBACK_FRAC = 0.85
+# NOTE: a third "direct" mode (flash loop over selected blocks read in
+# place from the VMEM-resident K/V head, no gather copies) was built and
+# measured in round 4 and DELETED: the per-block fori_loop serializes
+# 128x128 matmuls with no pipeline overlap, measuring 0.17-0.48x vs dense
+# at every density 0.30-0.85 (results/bench_csp_direct.log) — strictly
+# worse than both the gather modes and the dense fallback.  The dense-ish
+# regime is handled by the modules/attn.py cost gate (run the layer dense)
+# plus lower-density operating points (configs/wan-chipmunk.yml).
 
 
 def pad_block_indices(inds: jnp.ndarray, counts: jnp.ndarray) -> jnp.ndarray:
@@ -174,67 +173,6 @@ def _csp_vmem_kernel(inds_ref, counts_ref,        # SMEM
         return 0
 
     jax.lax.fori_loop(0, n_groups, body, 0)
-
-
-# --------------------------------------------------------------- direct mode
-
-def _csp_direct_kernel(inds_ref, counts_ref,      # SMEM
-                       q_ref, k_ref, v_ref, o_ref,
-                       *, tau: float, kv_block: int, qg: int,
-                       n_groups: int, kv_valid: int = None):
-    """Dense-ish selections: flash attention over the selected KV blocks
-    read IN PLACE from the VMEM-resident K/V head — no gather copies at
-    all.  The gather modes above pay to duplicate each group's ~X% of KV
-    into contiguous scratch; at high selection density (Wan's
-    local_voxels=5 static cube = ~59% of blocks) that duplication costs
-    more than the skipped FLOPs and csp loses to dense (measured 43.7ms
-    gather-vmem vs 44ms dense at S=32k, docs/DESIGN.md).  Here the win is
-    pure FLOP skipping: per query group an online-softmax loop visits only
-    its ``count`` blocks via dynamic VMEM slices (the reference has no
-    analogue — its CUDA csp must gather to feed wgmma tiles; the MXU can
-    consume VMEM slices directly).
-
-    One program per (b,h).  Softmax is the online (flash) recurrence in
-    exp2 domain; ``kv_valid`` masks the model-level padding tail, computed
-    arithmetically from the block id (no extra mask input needed)."""
-
-    def group(g, _):
-        qrow = pl.multiple_of(g * qg, qg)
-        q = q_ref[0, pl.ds(qrow, qg), :]
-        count = counts_ref[0, 0, g]
-
-        def blk(t, carry):
-            acc, m, l = carry
-            idx = inds_ref[0, g, t]
-            start = pl.multiple_of(idx * kv_block, kv_block)
-            kb = k_ref[0, pl.ds(start, kv_block), :]
-            s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32) * tau
-            if kv_valid is not None:
-                # number of valid leading tokens in this block
-                nv = jnp.clip(kv_valid - idx * kv_block, 0, kv_block)
-                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                s = jnp.where(col < nv, s, NEG_INF)
-            m2 = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp2(s - m2)
-            alpha = jnp.exp2(m - m2)
-            vb = v_ref[0, pl.ds(start, kv_block), :]
-            pv = jax.lax.dot_general(p.astype(vb.dtype), vb,
-                                     (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            return (acc * alpha + pv,
-                    m2, l * alpha + jnp.sum(p, axis=-1, keepdims=True))
-
-        acc, m, l = jax.lax.fori_loop(
-            0, count, blk,
-            (jnp.zeros((qg, q_ref.shape[-1]), jnp.float32),
-             jnp.full((qg, 1), NEG_INF, jnp.float32),
-             jnp.zeros((qg, 1), jnp.float32)))
-        l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, pl.ds(qrow, qg), :] = (acc / l).astype(o_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, n_groups, group, 0)
 
 
 # ----------------------------------------------------------------- HBM mode
@@ -378,15 +316,8 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         # true footprint is 2x the resident q/k/v/o plus gather scratch
         resident = (2 * Sk + 2 * Sq) * D * k.dtype.itemsize
         scratch = 4 * jmax * kv_block * D * k.dtype.itemsize
-        nb = Sk // kv_block
-        if (2 * resident + (4 << 20) <= VMEM_LIMIT
-                and jmax >= nb * DIRECT_FRAC):
-            # dense-ish selection: gather duplication costs more than the
-            # skipped FLOPs — read selected blocks in place instead
-            mode = 'direct'
-        else:
-            mode = ('vmem' if 2 * resident + scratch + (4 << 20) <= VMEM_LIMIT
-                    else 'hbm')
+        mode = ('vmem' if 2 * resident + scratch + (4 << 20) <= VMEM_LIMIT
+                else 'hbm')
 
     qf = q.reshape(B * H, Sq, D)
     kf = k.reshape(B * H, Sk, D)
@@ -403,28 +334,6 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     kw = dict(tau=attn_scale(D), kv_block=kv_block, jmax=jmax, qg=qg,
               n_groups=G, mask_kv=mask_kv)
-    if mode == 'direct':
-        o = pl.pallas_call(
-            functools.partial(_csp_direct_kernel, tau=attn_scale(D),
-                              kv_block=kv_block, qg=qg, n_groups=G,
-                              kv_valid=kv_valid if mask_kv else None),
-            grid=(B * H,),
-            in_specs=[
-                pl.BlockSpec((1, G, jmax), lambda b: (b, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, G), lambda b: (b, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, Sq, D), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, Sk, D), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, Sk, D), lambda b: (b, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, Sq, D), lambda b: (b, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((B * H, Sq, D), q.dtype),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=VMEM_LIMIT),
-            interpret=interpret,
-        )(indsf, countsf, qf, kf, vf)
-        return o.reshape(B, H, Sq, D)
     if mode == 'vmem':
         o = pl.pallas_call(
             functools.partial(_csp_vmem_kernel, **kw),

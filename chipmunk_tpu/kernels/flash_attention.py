@@ -97,68 +97,6 @@ def _flash_kernel(q_ref, k_ref, v_ref,            # inputs
         lse_ref[0] = (m_ref[:] + jnp.log2(l_safe)).reshape(lse_ref.shape[1:])
 
 
-def _flash_kernel2(q_ref, k_ref, v_ref,           # inputs
-                   o_ref, lse_ref,                # outputs
-                   acc0_ref, m0_ref, l0_ref,      # chain-0 scratch
-                   acc1_ref, m1_ref, l1_ref,      # chain-1 scratch
-                   *, tau: float, sk_valid: int, bq: int, bk: int):
-    """Two interleaved KV accumulator chains: each grid step consumes a
-    [2*bk] KV slab split into two half-blocks with independent
-    (m, l, acc) state.  The chains have no data dependency until the
-    final merge, so Mosaic can overlap chain A's VPU softmax with chain
-    B's MXU matmuls — the single-chain kernel serializes qk-matmul →
-    softmax → pv-matmul per block and leaves the MXU idle during the
-    exp2 pass (DESIGN.md kernel table: the 126 TF/s limiter)."""
-    j = pl.program_id(2)
-    nj = pl.num_programs(2)
-
-    @pl.when(j == 0)
-    def _init():
-        for acc, m, l in ((acc0_ref, m0_ref, l0_ref),
-                          (acc1_ref, m1_ref, l1_ref)):
-            acc[:] = jnp.zeros_like(acc)
-            m[:] = jnp.full_like(m, NEG_INF)
-            l[:] = jnp.zeros_like(l)
-
-    kk = k_ref[0]                                   # [2*bk, D]
-    vv = v_ref[0]
-    for c, (acc_ref, m_ref, l_ref) in enumerate(
-            ((acc0_ref, m0_ref, l0_ref), (acc1_ref, m1_ref, l1_ref))):
-        start = j * (2 * bk) + c * bk
-
-        @pl.when(start < sk_valid)                  # skip all-pad blocks
-        def _(acc_ref=acc_ref, m_ref=m_ref, l_ref=l_ref, c=c, start=start):
-            s = jax.lax.dot_general(
-                q_ref[0], kk[c * bk:(c + 1) * bk],
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            if sk_valid % (2 * bk) != 0:
-                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + start
-                s = jnp.where(col < sk_valid, s, NEG_INF)
-            m_prev = m_ref[:]
-            m_cur = jnp.max(s, axis=-1, keepdims=True) * tau
-            m_new = jnp.maximum(m_prev, m_cur)
-            p = jnp.exp2(s * tau - m_new)
-            alpha = jnp.exp2(m_prev - m_new)
-            l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            m_ref[:] = m_new
-            acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-                p.astype(vv.dtype), vv[c * bk:(c + 1) * bk],
-                preferred_element_type=jnp.float32)
-
-    @pl.when(j == nj - 1)
-    def _finalize():
-        m0, m1 = m0_ref[:], m1_ref[:]
-        m = jnp.maximum(m0, m1)
-        a0 = jnp.exp2(m0 - m)
-        a1 = jnp.exp2(m1 - m)
-        l = l0_ref[:] * a0 + l1_ref[:] * a1
-        l_safe = jnp.where(l == 0.0, 1.0, l)
-        acc = acc0_ref[:] * a0 + acc1_ref[:] * a1
-        o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-        lse_ref[0] = (m + jnp.log2(l_safe)).reshape(lse_ref.shape[1:])
-
-
 def _colsum_kernel(q_ref, k_ref, v_ref, prev_lse_ref,
                    o_ref, lse_ref, cs_ref,
                    acc_ref, m_ref, l_ref, csacc_ref, plse_ref,
@@ -250,11 +188,9 @@ def _pad_to(x, mult, axis):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=('bq', 'bk', 'chains',
-                                             'interpret'))
+@functools.partial(jax.jit, static_argnames=('bq', 'bk', 'interpret'))
 def dense_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                bq: int = DEFAULT_BQ, bk: int = DEFAULT_BK,
-               chains: int = 1,
                interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Flash attention forward.  q,k,v: [B,H,S,D] -> (o [B,H,Sq,D],
     lse fp32 [B,H,Sq] in log2 domain).  Sq is padded internally to bq;
@@ -263,18 +199,20 @@ def dense_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     B, H, Sq, D = q.shape
     Sk = k.shape[-2]
     bq = bq if bq is not None else _pick_bq(Sq)
-    # two interleaved accumulator chains when the KV sweep is long enough
-    # to amortize the merged finalize (each grid step then consumes 2*bk).
-    # Opt-in (chains=2) until the clean-chip microbench lands.
-    two = chains == 2 and Sk >= 4 * bk
-    slab = 2 * bk if two else bk
+    # NOTE: a two-interleaved-accumulator-chain variant (chains=2) was
+    # carried through rounds 3-4 behind an opt-in flag; it measured a
+    # regression at every shape tried (188 -> 129 TF/s at FLUX scale,
+    # docs/DESIGN.md) and was deleted in round 4 — Mosaic already
+    # software-pipelines the qk-matmul/softmax/pv-matmul chain across
+    # grid steps, so the manual interleave only added merge overhead.
+    slab = bk
     qp = _pad_to(q.reshape(B * H, Sq, D), bq, 1)
     kp = _pad_to(k.reshape(B * H, Sk, D), slab, 1)
     vp = _pad_to(v.reshape(B * H, Sk, D), slab, 1)
     Sqp, Skp = qp.shape[1], kp.shape[1]
     grid = (B * H, Sqp // bq, Skp // slab)
     kern = functools.partial(
-        _flash_kernel2 if two else _flash_kernel,
+        _flash_kernel,
         tau=attn_scale(D), sk_valid=Sk, bq=bq, bk=bk)
     chain_scratch = [
         pltpu.VMEM((bq, D), jnp.float32),
@@ -297,7 +235,7 @@ def dense_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             jax.ShapeDtypeStruct((B * H, Sqp, D), q.dtype),
             jax.ShapeDtypeStruct((B * H, Sqp // 128, 128), jnp.float32),
         ],
-        scratch_shapes=chain_scratch * (2 if two else 1),
+        scratch_shapes=chain_scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(qp, kp, vp)

@@ -167,22 +167,13 @@ class SparseDiffAttn:
         # fraction of the KV blocks, csp gather duplication + delta-cache
         # IO cost more than dense attention (microbenched at S=32k/59%:
         # csp 65ms hbm / 44ms vmem vs dense 44ms) -> run the layer dense.
-        # When the DIRECT kernel applies (K/V fit VMEM-resident and the
-        # selection is dense enough to trip its dispatch), csp pays no
-        # gather at all and keeps winning up to much higher density, so
-        # the gate moves to DIRECT_DENSE_FALLBACK_FRAC.
-        from ..kernels.csp_attention import (VMEM_LIMIT, DIRECT_FRAC,
-                                             DIRECT_DENSE_FALLBACK_FRAC)
-        d_guess = 128                    # head_dim (unknown here; D=128
-        itemsize = 2                     # for every supported model family)
-        resident = (2 * seq_len + 2 * seq_len) * d_guess * itemsize
-        direct_ok = (use_kernels
-                     and 2 * resident + (4 << 20) <= VMEM_LIMIT
-                     and jmax >= nb * DIRECT_FRAC)
-        fallback_frac = (max(cfg.dense_fallback_frac,
-                             DIRECT_DENSE_FALLBACK_FRAC)
-                         if direct_ok else cfg.dense_fallback_frac)
-        fully_dense = (fallback_frac < 1.0 and jmax >= nb * fallback_frac)
+        # (A gather-free "direct" kernel for the dense-ish regime was
+        # built and measured in round 4: 0.17-0.48x vs dense at every
+        # density, results/bench_csp_direct.log — deleted.  The answer to
+        # a too-dense selection is this gate plus a lower-density
+        # operating point, not a different kernel.)
+        fully_dense = (cfg.dense_fallback_frac < 1.0
+                       and jmax >= nb * cfg.dense_fallback_frac)
         return SparseDiffAttn(cfg=cfg, seq_len=seq_len, jmax=jmax,
                               sel_blocks=sel_blocks, static_mask=static_mask,
                               sparse_query_groups=sparse_qg,

@@ -1,6 +1,7 @@
 """Dense-attention + index-compaction microbenchmarks (round-3 levers).
 
-1. dense_attn single-chain vs two-chain (chains=2) at FLUX/video shapes.
+1. dense_attn at FLUX/video shapes (the chains=2 two-chain variant this
+   script measured as a regression was deleted in round 4).
 2. compressed-index rebuild: argsort mask_to_indices vs binary-search
    mask_to_indices_limited at the 119k hunyuan shape (VERDICT r2 weak #7).
 
@@ -25,13 +26,11 @@ def bench_dense():
         q, k, v = (jax.random.normal(kk, (1, H, S, D := 128), jnp.bfloat16)
                    for kk in ks)
         fl = 4 * H * S * S * 128
-        for ch in (1, 2):
-            dt = bench_loop(
-                lambda x, ch=ch: dense_attn(x, k, v,
-                                            chains=ch)[0].astype(jnp.bfloat16),
-                q, iters=64)
-            print(f"dense_attn H={H} S={S} chains={ch}: {dt*1000:.2f} ms "
-                  f"-> {fl/dt/1e12:.1f} TF/s", flush=True)
+        dt = bench_loop(
+            lambda x: dense_attn(x, k, v)[0].astype(jnp.bfloat16),
+            q, iters=64)
+        print(f"dense_attn H={H} S={S}: {dt*1000:.2f} ms "
+              f"-> {fl/dt/1e12:.1f} TF/s", flush=True)
 
 
 def bench_rebuild():

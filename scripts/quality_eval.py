@@ -345,10 +345,10 @@ def run_wan(args):
     ref = denoise(dense_ck)
     ship = load_config('configs/wan-chipmunk.yml').replace(steps=args.steps)
     ablations = {
-        # r4: the direct block-sparse kernel raised the dense-fallback
-        # gate to 0.85, so at lv=5 chipmunk attention ACTUALLY RUNS —
-        # this row measures step caching + csp sparsity at the shipped
-        # operating point (it measured pure step caching in r3)
+        # at lv=5 the dense-fallback gate (0.45 < jmax frac 0.62) runs
+        # every attention layer exact-dense, so this row measures the
+        # step-caching schedule alone (the direct kernel that briefly
+        # changed this was measured a loss and deleted, docs/DESIGN.md)
         'wan-shipped(lv5)': {},
         'top_keys=0.05': {'attn': {'top_keys': 0.05}},
         # smaller static cubes = lower selection density (lv3 0.109,

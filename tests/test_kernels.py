@@ -19,7 +19,7 @@ def rand_qkv(b=1, h=2, s=256, d=128, dtype=jnp.float32):
 
 def test_dense_attn_kernel():
     q, k, v = rand_qkv()
-    o, lse = dense_attn(q, k, v, bq=128, bk=128, chains=2, interpret=True)
+    o, lse = dense_attn(q, k, v, bq=128, bk=128, interpret=True)
     o_ref, lse_ref = ops.dense_attn_ref(q, k, v)
     np.testing.assert_allclose(o, o_ref, atol=2e-3, rtol=2e-3)
     np.testing.assert_allclose(lse, lse_ref, atol=2e-3, rtol=2e-3)
@@ -27,7 +27,7 @@ def test_dense_attn_kernel():
 
 def test_dense_attn_kernel_unaligned_seq():
     q, k, v = rand_qkv(s=300)  # not a multiple of bq or bk
-    o, lse = dense_attn(q, k, v, bq=128, bk=128, chains=2, interpret=True)
+    o, lse = dense_attn(q, k, v, bq=128, bk=128, interpret=True)
     o_ref, lse_ref = ops.dense_attn_ref(q, k, v)
     np.testing.assert_allclose(o, o_ref, atol=2e-3, rtol=2e-3)
     np.testing.assert_allclose(lse, lse_ref, atol=2e-3, rtol=2e-3)
@@ -46,8 +46,7 @@ def test_colsum_attn_kernel():
 
 
 @pytest.mark.parametrize('kv_block,mode', [(128, 'vmem'), (32, 'vmem'),
-                                           (128, 'hbm'), (32, 'hbm'),
-                                           (128, 'direct'), (32, 'direct')])
+                                           (128, 'hbm'), (32, 'hbm')])
 def test_csp_attn_kernel_vs_ref(kv_block, mode):
     q, k, v = rand_qkv(s=512)
     B, H, S, D = q.shape
@@ -126,7 +125,7 @@ def test_csp_mlp_full_indices_equals_dense_delta():
     np.testing.assert_allclose(new_out, out1, atol=1e-2, rtol=1e-2)
 
 
-@pytest.mark.parametrize('mode', ['vmem', 'hbm', 'direct'])
+@pytest.mark.parametrize('mode', ['vmem', 'hbm'])
 def test_csp_attn_kv_valid_excludes_pad(mode):
     """Keys past kv_valid (model-level padding tail) must not contribute:
     perturbing them wildly cannot change the output, and the result matches
@@ -265,9 +264,10 @@ def test_csp_mlp_int4_matches_dequant_reference():
                                atol=1e-5, rtol=1e-5)
 
 
-def test_dense_attn_two_chain_matches_ref():
-    """The two-interleaved-chain path (Sk >= 4*bk) must match the eager
-    reference, including a partial final slab where chain 1 is all pad."""
+def test_dense_attn_long_kv_pad_tails():
+    """Long-KV shapes with partial final slabs (Sk not a multiple of bk,
+    including an all-pad final block) must match the eager reference.
+    (Kept from the deleted chains=2 variant — the pad cases still bite.)"""
     from chipmunk_tpu.kernels.flash_attention import dense_attn
     from chipmunk_tpu.ops import attn_ref
     B, H, D = 1, 2, 64
@@ -277,7 +277,7 @@ def test_dense_attn_two_chain_matches_ref():
         q = jax.random.normal(ks[0], (B, H, Sq, D), jnp.float32)
         k = jax.random.normal(ks[1], (B, H, Sk, D), jnp.float32)
         v = jax.random.normal(ks[2], (B, H, Sk, D), jnp.float32)
-        o, lse = dense_attn(q, k, v, bq=128, bk=128, chains=2, interpret=True)
+        o, lse = dense_attn(q, k, v, bq=128, bk=128, interpret=True)
         o_ref, lse_ref = attn_ref.dense_attn_ref(q, k, v)
         np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
                                    atol=2e-5, rtol=2e-5)
