@@ -84,9 +84,21 @@ def main():
         # re-blockify the token union at this granule
         u_tok = np.repeat(union, 128, axis=-1)     # [B,H,G,S]
         u_blk = u_tok.reshape(B, H, G, nb, gran).any(-1)
+        # production (modules/attn.py dense_tail_g) excludes ~fully-dense
+        # query groups (the txt/tail row that get_local_indices_with_text
+        # makes attend everywhere) from the gather capacity and recomputes
+        # them with a tiny exact-dense flash instead; without this the
+        # static jmax — and with it every group's matmul width — inflates
+        # to ALL blocks (the r4 first-cut of this bench measured 0.79x at
+        # true density 0.219 purely from that)
+        rowdens = u_blk.reshape(-1, nb).mean(-1).reshape(u_blk.shape[:-1])
+        dense_rows = rowdens >= 0.95
+        jmax = int(np.where(dense_rows, 0,
+                            u_blk.sum(-1)).max())
         inds, counts = indexing.mask_to_indices(jnp.asarray(u_blk),
                                                 multiple_of=1)
-        jmax = int(counts.max())
+        counts = jnp.where(jnp.asarray(dense_rows), 1, counts)
+        counts = jnp.minimum(counts, jmax)
         inds = inds[..., :jmax]
         d_eff = float(counts.mean()) / nb
         csp_mod.MAX_KV_BLOCK = max(csp_mod.MAX_KV_BLOCK, gran)

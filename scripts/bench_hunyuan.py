@@ -55,7 +55,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_one(name, steps=50, trials=1, side='both', loop='host'):
+def bench_one(name, steps=50, trials=1, side='both', loop='host',
+              wq=None):
     streamed_mode = name.endswith('-streamed')
     base = name[:-len('-streamed')] if streamed_mode else name
     (lt, lh, lw), (dd, ds), quant = SCALES[base]
@@ -77,9 +78,10 @@ def bench_one(name, steps=50, trials=1, side='both', loop='host'):
         # int4 halves the dominant param bytes — the residency shrink that
         # lets FULL 20+40 depth fit the 15.75GiB chip WITHOUT the streamed
         # runner (VERDICT r3 next #1)
+        wq = wq or 'int4'
         params = synth_quantized_params(
-            0, shapes, QuantSpec(attn='int4', mod='int4',
-                                 mlp_sparse='int4', mlp_dense='int4'))
+            0, shapes, QuantSpec(attn=wq, mod=wq,
+                                 mlp_sparse=wq, mlp_dense=wq))
     else:
         params = init_hunyuan_params(key, cfg)
 
@@ -170,12 +172,16 @@ def main():
                     choices=['both', 'dense', 'sparse'])
     ap.add_argument('--loop', default='host',
                     choices=['host', 'compiled'])
+    ap.add_argument('--wq', default=None,
+                    choices=['int4', 'int8', 'float8_e4m3fn'],
+                    help='override the weight-quant dtype of the full* '
+                         'presets (crash/perf bisection)')
     args = ap.parse_args()
     rows = []
     for name in args.scale.split(','):
         rows.append(bench_one(name.strip(), steps=args.steps,
                               trials=args.trials, side=args.side,
-                              loop=args.loop))
+                              loop=args.loop, wq=args.wq))
     print(json.dumps({"metric": "hunyuan_e2e_speedup_curve",
                       "reference_baseline":
                           "HunyuanVideo e2e 3.72x (README.md:87)",
