@@ -42,9 +42,10 @@ def _jit_step(model, step: FluxStep, tag: str):
     if sig not in _JIT_CACHE:
         if tag == 'hy-step':
             def fn(params, lat, txt, t_vec, y, state, g, key, pe,
-                   _step=step):
+                   txt_mask, _step=step):
                 return model.forward(params, lat, txt, t_vec, y, state,
-                                     _step, guidance=g, key=key, pe=pe)
+                                     _step, guidance=g, key=key, pe=pe,
+                                     txt_mask=txt_mask)
             donate = (5,)    # state updates alias in place
         else:
             def fn(params, lat, ctx, t_vec, state, key, pe, _step=step):
@@ -61,7 +62,8 @@ def hunyuan_denoise(model, params: Dict, latents: jnp.ndarray,
                     guidance: float = 6.0,
                     key: Optional[jax.Array] = None,
                     callback: Optional[Callable] = None,
-                    streamed=None) -> jnp.ndarray:
+                    streamed=None,
+                    txt_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Euler flow-matching loop for a HunyuanModel.  latents [B,C,T,H,W].
 
     streamed: optional (runner, state) from ``model.make_streamed()`` —
@@ -97,7 +99,7 @@ def hunyuan_denoise(model, params: Dict, latents: jnp.ndarray,
         else:
             fn = _jit_step(model, step, 'hy-step')
             pred, state = fn(params, latents, txt, t_vec, y, state, g,
-                             k_i, pe)
+                             k_i, pe, txt_mask)
         latents = latents + (t_prev - t_curr) * pred
         if callback:
             callback(i, skipped=False)
@@ -147,7 +149,9 @@ def hunyuan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
                              txt: jnp.ndarray, y: jnp.ndarray,
                              timesteps: jnp.ndarray,
                              guidance: float = 6.0,
-                             key: Optional[jax.Array] = None) -> jnp.ndarray:
+                             key: Optional[jax.Array] = None,
+                             txt_mask: Optional[jnp.ndarray] = None
+                             ) -> jnp.ndarray:
     """The whole video denoise loop as ONE jitted lax.scan (same shape as
     FluxSampler.denoise_compiled).  The jitted runner is cached per
     (model, schedule, shape); all arrays are threaded as arguments."""
@@ -177,9 +181,9 @@ def hunyuan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
     xs = (jnp.arange(n), kinds, timesteps[:n], timesteps[1:n + 1])
 
     cache_key = ('hunyuan', _model_token(model), n, latents.shape, str(latents.dtype),
-                 tuple(kind_ix), g is None)
+                 tuple(kind_ix), g is None, txt_mask is None)
     if cache_key not in _JIT_CACHE:
-        def run(params, lat, state0, xs, txt, y, pe, g, key):
+        def run(params, lat, state0, xs, txt, y, pe, g, key, txt_mask):
             def model_branch(s):
                 step = FluxStep(index=s[0], full_attn=s[1], full_mlp=s[2],
                                 colsum=s[3], recompute_mlp_mask=s[4])
@@ -188,7 +192,7 @@ def hunyuan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
                     return model.forward(params, lat, txt, t_vec, y, state,
                                          step, guidance=g,
                                          key=jax.random.fold_in(key, i),
-                                         pe=pe)
+                                         pe=pe, txt_mask=txt_mask)
                 return f
 
             def skip_branch(lat, t_vec, state, pred, i):
@@ -212,7 +216,7 @@ def hunyuan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
 
         _JIT_CACHE[cache_key] = jax.jit(run)
     return _JIT_CACHE[cache_key](params, latents, state0, xs, txt, y, pe,
-                                 g, key)
+                                 g, key, txt_mask)
 
 
 def wan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,

@@ -43,6 +43,13 @@ def main():
                          'to pixel frames (reference sample_video.py decode '
                          'step). Pass "random" to smoke the decode path '
                          'with synthesized weights.')
+    ap.add_argument('--llm', default=None,
+                    help='LLaVA-LLaMA text encoder dir (FlaxLlamaModel-'
+                         'loadable); with --clip + --prompt, encodes real '
+                         'prompts (reference text_encoder type "llm")')
+    ap.add_argument('--clip', default=None,
+                    help='CLIP-L text encoder dir (pooled vector)')
+    ap.add_argument('--prompt', default=None)
     ap.add_argument('--out', default='hunyuan_latents.npy')
     # multi-host (DCN) bring-up — the analogue of the reference's
     # torchrun launcher flags (run_sample_video_multigpu.sh:34-46).  On
@@ -88,8 +95,25 @@ def main():
     ks = jax.random.split(jax.random.PRNGKey(args.seed), 3)
     lat = jax.random.normal(ks[0], (1, cfg.in_channels, cfg.latent_t,
                                     cfg.latent_h, cfg.latent_w), cfg.dtype)
-    txt = jnp.zeros((1, cfg.txt_len, cfg.text_dim), cfg.dtype)
-    y = jnp.zeros((1, cfg.vec_in_dim), cfg.dtype)
+    txt_mask = None
+    if args.prompt and args.llm and args.clip:
+        # real prompts: LLaVA-LLaMA template encode (skip-layer + crop,
+        # reference text_encoder/__init__.py:306-333) + CLIP pooled vec
+        from chipmunk_tpu.models.video_encoders import HunyuanTextEncoders
+        enc = HunyuanTextEncoders(llm_path=args.llm, clip_path=args.clip,
+                                  max_length=cfg.txt_len + 95)
+        txt, txt_mask, y = enc.embed([args.prompt])
+        enc.release()      # the reference JIT-offloads encoders too
+        txt = txt[:, :cfg.txt_len].astype(cfg.dtype)
+        txt_mask = txt_mask[:, :cfg.txt_len]
+        y = y.astype(cfg.dtype)
+    else:
+        if args.prompt:
+            import sys as _sys
+            print("WARNING: --prompt given without --llm/--clip; using "
+                  "zero embeddings", file=_sys.stderr)
+        txt = jnp.zeros((1, cfg.txt_len, cfg.text_dim), cfg.dtype)
+        y = jnp.zeros((1, cfg.vec_in_dim), cfg.dtype)
     ts = get_schedule(args.steps, cfg.img_len, shift=False)
 
     # honor the config's offloading block (reference hunyuan
@@ -106,10 +130,11 @@ def main():
         print("offloading config active -> streamed (host-offload) runner")
         streamed = model.make_streamed()
         out = hunyuan_denoise(model, params, lat, txt, y, ts,
-                              key=ks[2], streamed=streamed)
+                              key=ks[2], streamed=streamed,
+                              txt_mask=txt_mask)
     else:
         out = hunyuan_denoise_compiled(model, params, lat, txt, y, ts,
-                                       key=ks[2])
+                                       key=ks[2], txt_mask=txt_mask)
     jax.block_until_ready(out)
     print(f"done in {time.perf_counter()-t0:.1f}s")
     import numpy as np

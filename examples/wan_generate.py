@@ -40,6 +40,15 @@ def main():
                          'latents to pixel frames (reference text2video.py '
                          'vae.decode step). Pass "random" to smoke the '
                          'decode path with synthesized weights.')
+    ap.add_argument('--umt5', default=None,
+                    help='UMT5-XXL encoder checkpoint (.pth/.safetensors; '
+                         'reference models_t5_umt5-xxl-enc-bf16.pth)')
+    ap.add_argument('--tokenizer', default=None,
+                    help='umt5 tokenizer dir (google/umt5-xxl)')
+    ap.add_argument('--prompt', default=None)
+    ap.add_argument('--neg-prompt', default='',
+                    help='negative prompt for the CFG uncond invocation '
+                         '(reference sample_neg_prompt)')
     ap.add_argument('--tiny', action='store_true',
                     help='shrink dim/heads/ffn/txt for a CPU smoke run '
                          '(pipeline demo only; keeps head_dim=128)')
@@ -82,9 +91,21 @@ def main():
     ks = jax.random.split(jax.random.PRNGKey(args.seed), 4)
     lat = jax.random.normal(ks[0], (1, cfg.in_channels, cfg.latent_t,
                                     cfg.latent_h, cfg.latent_w), cfg.dtype)
-    # plug real T5 embeddings (cond prompt / negative prompt) here
-    ctx_c = jnp.zeros((1, cfg.txt_len, cfg.text_dim), cfg.dtype)
-    ctx_u = jnp.zeros((1, cfg.txt_len, cfg.text_dim), cfg.dtype)
+    if args.prompt and args.umt5 and args.tokenizer:
+        # real prompts: UMT5-XXL embeddings for cond + negative (the
+        # reference's T5EncoderModel call, wan/text2video.py:239-245)
+        from chipmunk_tpu.models.video_encoders import WanTextEncoder
+        enc = WanTextEncoder(args.umt5, args.tokenizer,
+                             text_len=cfg.txt_len, dtype=cfg.dtype)
+        ctx = enc.embed([args.prompt, args.neg_prompt])
+        enc.release()      # drop encoder weights before the denoise loop
+        ctx_c, ctx_u = ctx[:1].astype(cfg.dtype), ctx[1:].astype(cfg.dtype)
+    else:
+        if args.prompt:
+            print("WARNING: --prompt given without --umt5/--tokenizer; "
+                  "using zero embeddings", file=sys.stderr)
+        ctx_c = jnp.zeros((1, cfg.txt_len, cfg.text_dim), cfg.dtype)
+        ctx_u = jnp.zeros((1, cfg.txt_len, cfg.text_dim), cfg.dtype)
     ts = get_schedule(args.steps, cfg.seq_len, shift=False)
 
     t0 = time.perf_counter()

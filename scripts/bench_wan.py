@@ -48,6 +48,10 @@ def main():
     ap.add_argument('--dense-s', type=float, default=None,
                     help='reuse a previously measured dense wall-clock '
                          '(seconds) instead of re-running the dense side')
+    ap.add_argument('--full-schedule', default=None,
+                    help='comma list of inference steps to run as FULL '
+                         'attention steps (overrides full_step_every; the '
+                         'reference hunyuan yml ships {0,1,10,40})')
     args = ap.parse_args()
     on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
     lt, lh, lw = args.latent
@@ -63,6 +67,11 @@ def main():
         import dataclasses
         sparse_ck = sparse_ck.replace(attn=dataclasses.replace(
             sparse_ck.attn, local_voxels=args.local_voxels))
+    if args.full_schedule is not None:
+        import dataclasses
+        sched = frozenset(int(x) for x in args.full_schedule.split(','))
+        sparse_ck = sparse_ck.replace(attn=dataclasses.replace(
+            sparse_ck.attn, full_step_schedule=sched))
     dense_ck = config_from_dict({
         'steps': args.steps,
         'num_model_invocations_per_inference_step': 2,
@@ -111,6 +120,9 @@ def main():
         "speedup": round(t_d / t_s, 3),
         "local_voxels": (args.local_voxels if args.local_voxels is not None
                          else sparse_ck.attn.local_voxels),
+        "full_schedule": (sorted(sparse_ck.attn.full_step_schedule)
+                          if sparse_ck.attn.full_step_schedule is not None
+                          else f"every {sparse_ck.attn.full_step_every}"),
         "dense_reused": args.dense_s is not None,
         "note": "full 30-layer Wan2.1-1.3B shapes, CFG 2 invocations/step; "
                 "reference publishes no Wan numbers (BASELINE.md)"}))

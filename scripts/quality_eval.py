@@ -355,6 +355,12 @@ def run_wan(args):
         # lv2 0.096 static fraction at the real grid)
         'local_voxels=3': {'attn': {'local_voxels': 3}},
         'local_voxels=2': {'attn': {'local_voxels': 2}},
+        # candidate shipping point: csp engaged + the reference hunyuan
+        # yml's 4-step full schedule (fewer colsum+cache-prime steps,
+        # which cost ~2x dense per layer on TPU)
+        'lv3+fsched(0,1,10,40)': {
+            'attn': {'local_voxels': 3,
+                     'full_step_schedule': {0, 1, 10, 40}}},
     }
     ablations = filter_only(ablations, args,
                             aliases={'wan-shipped': 'wan-shipped(lv5)'})

@@ -1,0 +1,146 @@
+"""UMT5 encoder numerics vs transformers' independent torch implementation,
+loader round-trips, and the Hunyuan LLM-encoder selection semantics
+(reference wan/modules/t5.py, hyvideo/text_encoder/__init__.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from chipmunk_tpu.models.video_encoders import (
+    UMT5Config, init_umt5_params, umt5_encode, load_umt5_torch,
+    relative_position_bucket, select_skip_layer_hidden,
+    PROMPT_TEMPLATE_ENCODE_VIDEO, VIDEO_CROP_START)
+
+TINY = UMT5Config(vocab_size=64, dim=32, dim_attn=32, dim_ffn=64,
+                  num_heads=2, num_layers=2)
+
+
+def test_umt5_encode_shapes_and_mask():
+    params = init_umt5_params(jax.random.PRNGKey(0), TINY)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 64)
+    mask = jnp.ones((2, 16), jnp.int32).at[1, 10:].set(0)
+    out = umt5_encode(params, ids, mask, TINY)
+    assert out.shape == (2, 16, 32)
+    assert np.isfinite(np.asarray(out)).all()
+    # masked positions must not affect valid outputs: perturb padded ids
+    ids2 = ids.at[1, 12].set((ids[1, 12] + 1) % 64)
+    out2 = umt5_encode(params, ids2, mask, TINY)
+    np.testing.assert_allclose(np.asarray(out[:, :10]),
+                               np.asarray(out2[:, :10]), atol=1e-5)
+
+
+def test_umt5_matches_transformers_torch():
+    """Same math as the HF torch UMT5 encoder (independent implementation):
+    per-layer relative bias, unscaled attention, gated-tanh-gelu FFN.
+    HF naming: wi_0 = gated (gelu) input == our 'gate'; wi_1 == 'fc1'."""
+    torch = pytest.importorskip('torch')
+    from transformers import UMT5Config as HFConfig, UMT5EncoderModel
+    hf_cfg = HFConfig(vocab_size=64, d_model=32, d_kv=16, d_ff=64,
+                      num_heads=2, num_layers=2,
+                      relative_attention_num_buckets=32,
+                      relative_attention_max_distance=128,
+                      feed_forward_proj='gated-gelu', dropout_rate=0.0,
+                      is_encoder_decoder=False, use_cache=False)
+    torch.manual_seed(0)
+    hf = UMT5EncoderModel(hf_cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+
+    def lin(name):
+        return jnp.asarray(sd[name].T, jnp.float32)
+
+    layers = []
+    for i in range(2):
+        p = f'encoder.block.{i}.layer'
+        layers.append({
+            'norm1': jnp.asarray(sd[f'{p}.0.layer_norm.weight']),
+            'q': lin(f'{p}.0.SelfAttention.q.weight'),
+            'k': lin(f'{p}.0.SelfAttention.k.weight'),
+            'v': lin(f'{p}.0.SelfAttention.v.weight'),
+            'o': lin(f'{p}.0.SelfAttention.o.weight'),
+            'pos_emb': jnp.asarray(
+                sd[f'{p}.0.SelfAttention.relative_attention_bias.weight']),
+            'norm2': jnp.asarray(sd[f'{p}.1.layer_norm.weight']),
+            'gate': lin(f'{p}.1.DenseReluDense.wi_0.weight'),
+            'fc1': lin(f'{p}.1.DenseReluDense.wi_1.weight'),
+            'fc2': lin(f'{p}.1.DenseReluDense.wo.weight'),
+        })
+    params = {
+        'token_embedding': jnp.asarray(sd['shared.weight']),
+        'blocks': jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        'norm': jnp.asarray(sd['encoder.final_layer_norm.weight']),
+    }
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, 64, (2, 12))
+    mask = np.ones((2, 12), np.int64)
+    mask[1, 8:] = 0
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(mask)
+                 ).last_hidden_state.numpy()
+    out = np.asarray(umt5_encode(params, jnp.asarray(ids, jnp.int32),
+                                 jnp.asarray(mask, jnp.int32), TINY))
+    # padded rows diverge (HF does not zero them); compare valid positions
+    np.testing.assert_allclose(out[0], ref[0], atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(out[1, :8], ref[1, :8], atol=2e-4, rtol=2e-4)
+
+
+def test_umt5_loader_roundtrip(tmp_path):
+    """Reference torch checkpoint layout (t5.py:267-302) -> our tree."""
+    rng = np.random.default_rng(5)
+    cfg = TINY
+    sd = {'token_embedding.weight':
+          rng.standard_normal((cfg.vocab_size, cfg.dim)).astype(np.float32),
+          'norm.weight': np.ones((cfg.dim,), np.float32)}
+    for i in range(cfg.num_layers):
+        p = f'blocks.{i}'
+        sd[f'{p}.norm1.weight'] = np.ones((cfg.dim,), np.float32)
+        for n in 'qkv':
+            sd[f'{p}.attn.{n}.weight'] = rng.standard_normal(
+                (cfg.dim_attn, cfg.dim)).astype(np.float32) * 0.1
+        sd[f'{p}.attn.o.weight'] = rng.standard_normal(
+            (cfg.dim, cfg.dim_attn)).astype(np.float32) * 0.1
+        sd[f'{p}.pos_embedding.embedding.weight'] = rng.standard_normal(
+            (cfg.num_buckets, cfg.num_heads)).astype(np.float32)
+        sd[f'{p}.norm2.weight'] = np.ones((cfg.dim,), np.float32)
+        sd[f'{p}.ffn.gate.0.weight'] = rng.standard_normal(
+            (cfg.dim_ffn, cfg.dim)).astype(np.float32) * 0.1
+        sd[f'{p}.ffn.fc1.weight'] = rng.standard_normal(
+            (cfg.dim_ffn, cfg.dim)).astype(np.float32) * 0.1
+        sd[f'{p}.ffn.fc2.weight'] = rng.standard_normal(
+            (cfg.dim, cfg.dim_ffn)).astype(np.float32) * 0.1
+    import safetensors.numpy
+    path = tmp_path / 'umt5_tiny.safetensors'
+    safetensors.numpy.save_file(sd, str(path))
+    params = load_umt5_torch(str(path), cfg)
+    assert params['blocks']['q'].shape == (2, cfg.dim, cfg.dim_attn)
+    np.testing.assert_allclose(
+        np.asarray(params['blocks']['q'][1]),
+        sd['blocks.1.attn.q.weight'].T)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    out = umt5_encode(params, ids, jnp.ones((1, 8), jnp.int32), cfg)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bucket_symmetry_and_range():
+    rel = np.arange(-64, 65)[None, :]
+    b = relative_position_bucket(rel, 32, 128)
+    assert b.min() >= 0 and b.max() < 32
+    assert b[0, 64] == 0                       # distance 0 -> bucket 0
+    assert (b[0, :64] < 16).all()              # negative side low half
+    assert (b[0, 65:] >= 16).all()             # positive side offset
+
+
+def test_hunyuan_skip_layer_selection():
+    """hidden_states[-(skip+1)] + crop (text_encoder/__init__.py:311-333)."""
+    hs = [np.full((1, 100, 4), float(i)) for i in range(5)]
+    out = select_skip_layer_hidden(hs, 2, crop_start=10)
+    assert out.shape == (1, 90, 4)
+    assert (out == 2.0).all()                  # -(2+1) = index 2 of 0..4
+    out0 = select_skip_layer_hidden(hs, 0)
+    assert (out0 == 4.0).all() and out0.shape == (1, 100, 4)
+
+
+def test_video_prompt_template():
+    t = PROMPT_TEMPLATE_ENCODE_VIDEO.format("a cat")
+    assert "a cat" in t and t.count("<|eot_id|>") == 2
+    assert VIDEO_CROP_START == 95
