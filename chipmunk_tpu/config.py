@@ -90,6 +90,13 @@ class AttnConfig:
     full_step_schedule: Optional[FrozenSet[int]] = None
     recompute_mask: bool = True
     should_compress_indices: bool = True
+    # TPU-only: with compressed indices, ALSO keep the materialized
+    # (inds, counts) in the state as a deterministic cache of the packed
+    # mask — skips the bitunpack+top_k rebuild on every consuming step
+    # (~10ms/layer at Wan scale, results/profile_wan_lv3*.log).  None =
+    # auto: True unless the model offloads attn indices (packed is the
+    # 8x-smaller transfer unit the compression exists for)
+    materialize_indices: Optional[bool] = None
     # kernel-coupled (reference config.py:50-53)
     counts_multiple_of: int = 128
     pad_qkv_before_kernel: bool = True

@@ -72,22 +72,26 @@ def pad_block_indices(inds: jnp.ndarray, counts: jnp.ndarray) -> jnp.ndarray:
 
 # ---------------------------------------------------------------- VMEM mode
 
-def _partial_block_mask(s, valid_ref, g, kv_block: int, jmax: int):
+def _make_expand(kv_block: int, jmax: int):
+    """One-hot [jmax, jmax*kv_block] tile->column expansion matrix
+    (dynamic-lane gathers aren't a TPU primitive; the MXU is).  Built
+    ONCE per program and reused by every query group — constructing it
+    inside the group loop measured +2.8ms/layer at Wan scale
+    (results/bench_wan_attnstep.log)."""
+    JT = jmax * kv_block
+    tj = jax.lax.broadcasted_iota(jnp.int32, (jmax, JT), 0)
+    cj = jax.lax.broadcasted_iota(jnp.int32, (jmax, JT), 1) // kv_block
+    return (tj == cj).astype(jnp.float32)
+
+
+def _partial_block_mask(s, valid_ref, g, expand, colrem, kv_block: int):
     """Mask score columns that fall past the model-level KV padding
     boundary.  valid_ref: VMEM [1, G, jmax] f32 — per gathered tile, the
     number of valid leading tokens in that tile (kv_block if fully valid,
     0 if fully padding).  Columns with in-tile offset >= that count get
     NEG_INF."""
-    JT = jmax * kv_block
     vrow = valid_ref[0, pl.ds(g, 1), :]                          # [1, jmax]
-    # expand per-tile counts to per-column via a one-hot matmul (dynamic-
-    # lane gathers aren't a TPU primitive; the MXU is)
-    tj = jax.lax.broadcasted_iota(jnp.int32, (jmax, JT), 0)
-    cj = jax.lax.broadcasted_iota(jnp.int32, (jmax, JT), 1) // kv_block
-    expand = (tj == cj).astype(jnp.float32)
     vcol = jnp.dot(vrow, expand, preferred_element_type=jnp.float32)
-    colrem = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) % kv_block
-              ).astype(jnp.float32)
     return jnp.where(colrem >= vcol, NEG_INF, s)
 
 
@@ -142,6 +146,10 @@ def _csp_vmem_kernel(inds_ref, counts_ref,        # SMEM
     kg_ref[:] = jnp.zeros_like(kg_ref)
     vg_ref[:] = jnp.zeros_like(vg_ref)
     start_group(0, 0)
+    if mask_kv:
+        expand = _make_expand(kv_block, jmax)
+        colrem = (jax.lax.broadcasted_iota(jnp.int32, (qg, JT), 1)
+                  % kv_block).astype(jnp.float32)
 
     def body(g, _):
         slot = jax.lax.rem(g, 2)
@@ -160,7 +168,8 @@ def _csp_vmem_kernel(inds_ref, counts_ref,        # SMEM
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col // kv_block < count, s, NEG_INF)
         if mask_kv:
-            s = _partial_block_mask(s, valid_ref, g, kv_block, jmax)
+            s = _partial_block_mask(s, valid_ref, g, expand, colrem,
+                                    kv_block)
         # exact softmax: the whole selected row is in hand (no online pass)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2(s - m)
@@ -240,6 +249,10 @@ def _csp_hbm_kernel(inds_ref, counts_ref,         # SMEM
     kg_ref[:] = jnp.zeros_like(kg_ref)
     vg_ref[:] = jnp.zeros_like(vg_ref)
     start_group(0, 0)
+    if mask_kv:
+        expand = _make_expand(kv_block, jmax)
+        colrem = (jax.lax.broadcasted_iota(jnp.int32, (qg, JT), 1)
+                  % kv_block).astype(jnp.float32)
 
     def body(g, _):
         slot = jax.lax.rem(g, 2)
@@ -256,7 +269,8 @@ def _csp_hbm_kernel(inds_ref, counts_ref,         # SMEM
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col // kv_block < count, s, NEG_INF)
         if mask_kv:
-            s = _partial_block_mask(s, valid_ref, g, kv_block, jmax)
+            s = _partial_block_mask(s, valid_ref, g, expand, colrem,
+                                    kv_block)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)

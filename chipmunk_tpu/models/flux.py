@@ -238,6 +238,28 @@ def _attn_call(mod: SparseDiffAttn, q, k, v, st: AttnState, step: StepKind,
     explicit all-to-alls (reference head_parallel.py semantics); sparsity
     state stays local per head shard."""
     def run(q, k, v, st, key):
+        if not mod.cfg.is_enabled or mod.fully_dense:
+            # both branches dense: no cond, state untouched
+            return mod.dense_step(q, k, v), st
+        if not (step.full_attn or step.colsum):
+            # sparse step: NEITHER branch mutates state (sparse_step
+            # returns its input state object).  Route only the output
+            # through the cond — a cond that returns the state would
+            # materialize (copy) the ~100MB-per-layer AttnState as a
+            # fresh cond output every scan iteration, defeating
+            # _tree_put_changed's pass-through (measured ~10ms/layer at
+            # Wan scale, results/profile_wan_lv3*.log)
+            def dense_o(_):
+                return mod.dense_step(q, k, v)
+
+            def sparse_o(_):
+                o, _st = mod(q, k, v, st, step_index=step.index,
+                             is_full=False, is_colsum=False,
+                             layer_is_dense=False, key=key)
+                return o
+
+            return jax.lax.cond(is_dense, dense_o, sparse_o, None), st
+
         def dense(_):
             return mod.dense_step(q, k, v), st
 
@@ -266,6 +288,11 @@ def _attn_call(mod: SparseDiffAttn, q, k, v, st: AttnState, step: StepKind,
 def _mlp_call(mod: SparseDiffMlp, x2d, w1t, b1, w2, b2, st: MlpState,
               step: StepKind, is_dense, key
               ) -> Tuple[jnp.ndarray, MlpState]:
+    if not mod.cfg.is_enabled:
+        # disabled (e.g. Wan): dense unconditionally, placeholder state
+        # passes through with no cond (see _attn_call note)
+        return mod.dense(x2d, w1t, b1, w2, b2), st
+
     def dense(_):
         return mod.dense(x2d, w1t, b1, w2, b2), st
 
@@ -304,6 +331,22 @@ def _tree_put(tree, new, idx):
     return jax.tree_util.tree_map(
         lambda full, n: jax.lax.dynamic_update_index_in_dim(
             full, n.astype(full.dtype), idx, 0), tree, new)
+
+
+def _tree_put_changed(tree, old, new, idx):
+    """_tree_put that skips leaves the step left UNTOUCHED (``new is
+    old`` — step methods return the input state object for fields they
+    don't modify, and the step kind is static per trace).  A skipped
+    leaf passes the stacked carry buffer through the scan iteration
+    with no dynamic-update at all, so XLA cannot be tempted into a
+    defensive whole-buffer copy: sparse steps touch NO attention-state
+    field, and at Wan scale the stacked AttnState is ~3.2GB/invocation
+    (copy ≈ 8ms/layer — the e2e-vs-isolated overhead chased in
+    results/profile_wan_lv3*.log)."""
+    return jax.tree_util.tree_map(
+        lambda full, o, n: full if n is o
+        else jax.lax.dynamic_update_index_in_dim(
+            full, n.astype(full.dtype), idx, 0), tree, old, new)
 
 
 def double_block(cfg: FluxModelConfig, sp: FluxSparse, p: Dict,
@@ -454,12 +497,13 @@ def flux_forward(params: Dict, cfg: FluxModelConfig, sp: FluxSparse,
     def double_body(carry, xs):
         img, txt, d_attn, d_mlp = carry
         p, idx = xs
+        ast, mst = _tree_at(d_attn, idx), _tree_at(d_mlp, idx)
         img, txt, ast2, mst2 = double_block(
             cfg, sp, p, img, txt, vec, cos, sin,
-            _tree_at(d_attn, idx), _tree_at(d_mlp, idx), idx, step,
+            ast, mst, idx, step,
             jax.random.fold_in(kd, idx))
-        return (img, txt, _tree_put(d_attn, ast2, idx),
-                _tree_put(d_mlp, mst2, idx)), None
+        return (img, txt, _tree_put_changed(d_attn, ast, ast2, idx),
+                _tree_put_changed(d_mlp, mst, mst2, idx)), None
 
     idx_d = jnp.arange(cfg.depth)
     (img, txt, d_attn2, d_mlp2), _ = jax.lax.scan(
@@ -475,12 +519,13 @@ def flux_forward(params: Dict, cfg: FluxModelConfig, sp: FluxSparse,
     def single_body(carry, xs):
         x, s_attn, s_mlp = carry
         p, idx = xs
+        ast, mst = _tree_at(s_attn, idx), _tree_at(s_mlp, idx)
         x, ast2, mst2 = single_block(
             cfg, sp, p, x, vec, cos, sin,
-            _tree_at(s_attn, idx), _tree_at(s_mlp, idx), idx, step,
+            ast, mst, idx, step,
             jax.random.fold_in(ks_, idx))
-        return (x, _tree_put(s_attn, ast2, idx),
-                _tree_put(s_mlp, mst2, idx)), None
+        return (x, _tree_put_changed(s_attn, ast, ast2, idx),
+                _tree_put_changed(s_mlp, mst, mst2, idx)), None
 
     idx_s = jnp.arange(cfg.depth_single_blocks)
     (x, s_attn2, s_mlp2), _ = jax.lax.scan(

@@ -222,6 +222,16 @@ class HunyuanModel:
             mask = np.concatenate(
                 [mask, np.zeros((mask.shape[0], pad), bool)], axis=1)
         self.static_mask = mask
+        if self.ck.attn.materialize_indices is None:
+            # auto: keep materialized (inds, counts) next to the packed
+            # mask only when the attn indices stay on-device — offloaded
+            # states must transfer the 8x-smaller packed form alone
+            import dataclasses
+            from ..utils.offload import OffloadPolicy
+            policy = OffloadPolicy.from_config(self.ck.offloading)
+            mat = not (policy.enabled and policy.wants_host('attn_indices'))
+            self.ck = self.ck.replace(attn=dataclasses.replace(
+                self.ck.attn, materialize_indices=mat))
         self.sp = FluxSparse.build(
             self.ck, self.cfg.core(), self.seq_padded,
             static_mask_tokens=jnp.asarray(mask), batch=self.batch,

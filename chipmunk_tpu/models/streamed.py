@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from ..utils.offload import OffloadPolicy, offload_to_host, fetch_to_device
 from .flux import (FluxModelConfig, FluxSparse, FluxState, FluxStep,
                    double_block, single_block, flux_embed, flux_final,
-                   _tree_at, _tree_put)
+                   _tree_at, _tree_put_changed)
 
 def _host_flags(policy: OffloadPolicy):
     """Per-field host-placement flags for an (AttnState, MlpState) chunk —
@@ -200,13 +200,14 @@ class StreamedFluxRunner:
                 def body(carry, i):
                     img, txt, attn, mlp = carry
                     idx = idx0 + i
+                    a0, m0 = _tree_at(attn, i), _tree_at(mlp, i)
                     img, txt, a2, m2 = double_block(
                         cfg, sp, _tree_at(p_stack, idx), img, txt, vec,
                         cos, sin,
-                        _tree_at(attn, i), _tree_at(mlp, i), idx, _step,
+                        a0, m0, idx, _step,
                         jax.random.fold_in(key, idx))
-                    return (img, txt, _tree_put(attn, a2, i),
-                            _tree_put(mlp, m2, i)), None
+                    return (img, txt, _tree_put_changed(attn, a0, a2, i),
+                            _tree_put_changed(mlp, m0, m2, i)), None
 
                 n = jax.tree_util.tree_leaves(attn)[0].shape[0]
                 (img, txt, attn, mlp), _ = jax.lax.scan(
@@ -221,12 +222,13 @@ class StreamedFluxRunner:
                 def body(carry, i):
                     x, attn, mlp = carry
                     idx = idx0 + i
+                    a0, m0 = _tree_at(attn, i), _tree_at(mlp, i)
                     x, a2, m2 = single_block(
                         cfg, sp, _tree_at(p_stack, idx), x, vec, cos, sin,
-                        _tree_at(attn, i), _tree_at(mlp, i), idx, _step,
+                        a0, m0, idx, _step,
                         jax.random.fold_in(key, idx))
-                    return (x, _tree_put(attn, a2, i),
-                            _tree_put(mlp, m2, i)), None
+                    return (x, _tree_put_changed(attn, a0, a2, i),
+                            _tree_put_changed(mlp, m0, m2, i)), None
 
                 n = jax.tree_util.tree_leaves(attn)[0].shape[0]
                 (x, attn, mlp), _ = jax.lax.scan(

@@ -30,7 +30,8 @@ from ..config import ChipmunkConfig
 from ..modules import SparseDiffAttn, SparseDiffMlp, AttnState, MlpState
 from ..ops.voxel import (voxel_order, inverse_voxel_order,
                          get_local_indices_with_text)
-from .flux import FluxStep, _attn_call, _mlp_call, _tree_at, _tree_put
+from .flux import (FluxStep, _attn_call, _mlp_call, _tree_at,
+                   _tree_put_changed)
 from .layers import (apply_rope, build_rope, init_linear, layernorm, linear,
                      rmsnorm, timestep_embedding)
 
@@ -291,8 +292,8 @@ class WanModel:
                                  p['w2'], p['b2'], mst, step, mlp_dense,
                                  jax.random.fold_in(lkey, 1))
             x = x + mod[:, 5] * mo.reshape(x.shape)
-            return (x, _tree_put(s_attn, ast2, idx),
-                    _tree_put(s_mlp, mst2, idx)), None
+            return (x, _tree_put_changed(s_attn, ast, ast2, idx),
+                    _tree_put_changed(s_mlp, mst, mst2, idx)), None
 
         idx = jnp.arange(cfg.num_layers)
         (x, a2, m2), _ = jax.lax.scan(

@@ -44,7 +44,15 @@ class AttnState(NamedTuple):
     (inds, counts) and ``packed`` is a 1-byte dummy; compressed keeps the
     selection mask as a bitpacked uint8 field (8x smaller than int32
     indices — the thing being offloaded at video scale) and rebuilds
-    (inds, counts) deterministically on every consuming step."""
+    (inds, counts) deterministically on every consuming step.
+
+    Compressed mode additionally MATERIALIZES (inds, counts) alongside
+    the packed mask when the state is resident (``materialize``): the
+    rebuild (bitunpack + top_k compaction) is pure recompute whose only
+    purpose is shrinking offload traffic, and it costs ~10ms/layer per
+    consuming step at Wan scale (results/profile_wan_lv3*.log).  The
+    packed field stays authoritative for offload; materialized indices
+    are a deterministic cache of ``_mask_to_inds(packed)``."""
     out_cache: jnp.ndarray   # [B,H,S,D]
     lse: jnp.ndarray         # [B,H,S] fp32, log2 domain
     inds: jnp.ndarray        # [B,H,G,jmax] int32 kv-block ids
@@ -54,13 +62,17 @@ class AttnState(NamedTuple):
 
 def init_attn_state(B: int, H: int, S: int, D: int, jmax: int,
                     kv_block: int, dtype=jnp.bfloat16,
-                    out_cache_dtype=None, compress: bool = False
-                    ) -> AttnState:
+                    out_cache_dtype=None, compress: bool = False,
+                    materialize: bool = True) -> AttnState:
     G = S // 128
     nb = S // kv_block
-    if compress:
+    if compress and not materialize:
         inds = jnp.zeros((1, 1, 1, 1), jnp.int32)
         counts = jnp.ones((1, 1, 1), jnp.int32)
+        packed = jnp.zeros((B, H, G, -(-nb // 8)), jnp.uint8)
+    elif compress:
+        inds = jnp.zeros((B, H, G, jmax), jnp.int32)
+        counts = jnp.ones((B, H, G), jnp.int32)
         packed = jnp.zeros((B, H, G, -(-nb // 8)), jnp.uint8)
     else:
         inds = jnp.zeros((B, H, G, jmax), jnp.int32)
@@ -285,9 +297,14 @@ class SparseDiffAttn:
 
     def _stored_inds(self, state: AttnState
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Fetch the selection from state: unpack+rebuild when compressed
-        (reference attn.py:173-179), direct otherwise."""
+        """Fetch the selection from state: direct when uncompressed OR
+        when compressed-but-materialized (state carries the cached
+        ``_mask_to_inds`` output next to the packed mask); unpack+rebuild
+        only when the state holds packed masks alone (offloaded video
+        states, reference attn.py:173-179)."""
         if not self.cfg.should_compress_indices:
+            return state.inds, state.counts
+        if state.inds.shape[-1] == self.jmax:       # materialized cache
             return state.inds, state.counts
         from ..ops.bitpack import bitunpack_rows
         nb = self.seq_len // self.cfg.kv_block
@@ -297,7 +314,10 @@ class SparseDiffAttn:
                          inds, counts) -> AttnState:
         if self.cfg.should_compress_indices:
             from ..ops.bitpack import bitpack_rows
-            return state._replace(packed=bitpack_rows(mask))
+            state = state._replace(packed=bitpack_rows(mask))
+            if state.inds.shape[-1] == self.jmax:   # materialized cache
+                state = state._replace(inds=inds, counts=counts)
+            return state
         return state._replace(inds=inds, counts=counts)
 
     # -------------------------------------------------------------- steps
@@ -371,7 +391,9 @@ class SparseDiffAttn:
                              packed=jnp.zeros((1, 1, 1, 1), jnp.uint8))
         oc_dt = (jnp.dtype(self.cfg.out_cache_dtype)
                  if self.cfg.out_cache_dtype else None)
+        mat = self.cfg.materialize_indices
         return init_attn_state(B, H, self.seq_len, D, self.jmax,
                                self.cfg.kv_block, dtype,
                                out_cache_dtype=oc_dt,
-                               compress=self.cfg.should_compress_indices)
+                               compress=self.cfg.should_compress_indices,
+                               materialize=True if mat is None else mat)

@@ -35,6 +35,11 @@ def main():
     ap.add_argument('--layers', type=int, default=30)
     ap.add_argument('--latent', type=int, nargs=3, default=[21, 60, 104])
     ap.add_argument('--local-voxels', type=int, default=None)
+    ap.add_argument('--no-compress', action='store_true',
+                    help='store inds/counts directly instead of bitpacked '
+                         'masks (skips the per-layer-per-step rebuild)')
+    ap.add_argument('--full-schedule', default=None,
+                    help='comma list of full-attention steps')
     ap.add_argument('--dense', action='store_true',
                     help='profile the dense config instead')
     args = ap.parse_args()
@@ -53,10 +58,17 @@ def main():
     else:
         ck = load_config('configs/wan-chipmunk.yml').replace(
             steps=args.steps)
+        import dataclasses
         if args.local_voxels is not None:
-            import dataclasses
             ck = ck.replace(attn=dataclasses.replace(
                 ck.attn, local_voxels=args.local_voxels))
+        if args.no_compress:
+            ck = ck.replace(attn=dataclasses.replace(
+                ck.attn, should_compress_indices=False))
+        if args.full_schedule is not None:
+            sched = frozenset(int(x) for x in args.full_schedule.split(','))
+            ck = ck.replace(attn=dataclasses.replace(
+                ck.attn, full_step_schedule=sched))
     model = WanModel(cfg=cfg, ck=ck, use_kernels=on_tpu)
     ks = jax.random.split(jax.random.PRNGKey(1), 3)
     lat = jax.random.normal(ks[0], (1, cfg.in_channels, lt, lh, lw),

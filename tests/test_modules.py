@@ -200,7 +200,8 @@ def test_attn_compressed_index_storage_parity():
     import dataclasses
     B, H, S, D = 1, 2, 512, 64
     base = AttnConfig(top_keys=0.3, kv_block=32, counts_multiple_of=32,
-                      random_keys=0.0, should_compress_indices=True)
+                      random_keys=0.0, should_compress_indices=True,
+                      materialize_indices=False)   # packed-only storage
     mod_c = SparseDiffAttn.build(base, S, use_kernels=False)
     # uncompressed twin with the SAME selection semantics: force the
     # compressed module's mask path but explicit storage by flipping the
@@ -303,3 +304,48 @@ def test_attn_dense_fallback_cost_gate():
                    dense_fallback_frac=1.0), 512, use_kernels=False)
     assert not mod2.fully_dense
     assert mod2.init_state(B, H, D, jnp.float32).out_cache.shape[-2] == 512
+
+
+def test_materialized_indices_match_packed_rebuild():
+    """Compressed+materialized state must yield exactly the selection a
+    packed-only rebuild produces (the materialized (inds, counts) are a
+    deterministic cache of _mask_to_inds(packed))."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from chipmunk_tpu.config import AttnConfig
+    from chipmunk_tpu.modules.attn import SparseDiffAttn
+    from chipmunk_tpu.ops.bitpack import bitunpack_rows
+
+    cfg = AttnConfig(top_keys=0.1, random_keys=0.01,
+                     should_compress_indices=True, counts_multiple_of=32,
+                     kv_block=32, mbm=128)
+    S = 2048            # jmax well under the dense-fallback gate
+    am = SparseDiffAttn.build(cfg, S, use_kernels=False)
+    B, H, D = 1, 2, 32
+    st = am.init_state(B, H, D)
+    assert st.inds.shape[-1] == am.jmax          # materialized by default
+    key = jax.random.PRNGKey(0)
+    scores = jax.random.uniform(key, (B, H, S // cfg.mbm, S // cfg.kv_block))
+    mask = am._select_mask(scores, key)
+    inds, counts = am._mask_to_inds(mask)
+    st = am._store_selection(st, mask, inds, counts)
+    # stored materialized cache is consumed directly...
+    i1, c1 = am._stored_inds(st)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(inds))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(counts))
+    # ...and equals a from-packed rebuild (what a packed-only state does)
+    i2, c2 = am._mask_to_inds(bitunpack_rows(st.packed,
+                                             S // cfg.kv_block))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    # packed-only mode (materialize off) still rebuilds
+    cfg2 = dataclasses.replace(cfg, materialize_indices=False)
+    am2 = SparseDiffAttn.build(cfg2, S, use_kernels=False)
+    st2 = am2.init_state(B, H, D)
+    assert st2.inds.size == 1                    # placeholder only
+    st2 = am2._store_selection(st2, mask, inds, counts)
+    i3, c3 = am2._stored_inds(st2)
+    np.testing.assert_array_equal(np.asarray(i3), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(c3), np.asarray(c2))
