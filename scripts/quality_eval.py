@@ -358,7 +358,7 @@ def run_wan(args):
         # candidate shipping point: csp engaged + the reference hunyuan
         # yml's 4-step full schedule (fewer colsum+cache-prime steps,
         # which cost ~2x dense per layer on TPU)
-        'lv3+fsched(0,1,10,40)': {
+        'lv3+fsched-0-1-10-40': {
             'attn': {'local_voxels': 3,
                      'full_step_schedule': {0, 1, 10, 40}}},
     }
