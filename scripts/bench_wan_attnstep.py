@@ -38,7 +38,7 @@ ks = jax.random.split(jax.random.PRNGKey(0), 3)
 q, k, v = (jax.random.normal(kk, (1, H, S, D), jnp.bfloat16) for kk in ks)
 
 # production-like selection: static mask + random topk extras
-state = am.init_state(1)
+state = am.init_state(1, H, D)
 key = jax.random.PRNGKey(1)
 scores = jax.random.uniform(key, (1, H, S // am.cfg.mbm,
                                   S // am.cfg.kv_block))
@@ -66,15 +66,17 @@ print(f"csp_attn kv_valid={am.valid_len}: {t*1000:.2f} ms", flush=True)
 
 
 @jax.jit
-def rebuild(st):
+def rebuild(st, x):
+    # thread an x-derived zero into packed so the rebuild cannot be
+    # hoisted out of the timing loop (values unchanged: xor 0)
+    st = st._replace(packed=st.packed ^ (x[0, 0, 0, 0] * 0
+                                         ).astype(jnp.uint8))
     i2, c2 = am._stored_inds(st)
-    return i2, c2
+    return x + (c2.sum() * 0).astype(x.dtype)
 
 
-jax.block_until_ready(rebuild(state))
-t = bench_loop(lambda x: rebuild(state)[0] + (x[0, 0, 0, 0] * 0
-                                              ).astype(jnp.int32), q,
-               iters=8)
+jax.block_until_ready(rebuild(state, q))
+t = bench_loop(lambda x: rebuild(state, x), q, iters=8)
 print(f"stored_inds rebuild (bitunpack+compact): {t*1000:.2f} ms",
       flush=True)
 
