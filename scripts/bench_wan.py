@@ -23,7 +23,8 @@ import numpy as np
 from chipmunk_tpu.config import load_config, config_from_dict
 from chipmunk_tpu.models.wan import (WanModelConfig, WanModel,
                                      init_wan_params)
-from chipmunk_tpu.models.video_sampling import wan_denoise
+from chipmunk_tpu.models.video_sampling import (wan_denoise,
+                                                wan_denoise_compiled)
 from chipmunk_tpu.models.sampling import get_schedule
 
 
@@ -52,6 +53,10 @@ def main():
                     help='comma list of inference steps to run as FULL '
                          'attention steps (overrides full_step_every; the '
                          'reference hunyuan yml ships {0,1,10,40})')
+    ap.add_argument('--loop', default='host', choices=['host', 'compiled'],
+                    help='compiled = single-dispatch lax.scan denoise '
+                         'loop (wan_denoise_compiled): no per-step host '
+                         'round trips, same loop for both sides')
     args = ap.parse_args()
     on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
     lt, lh, lw = args.latent
@@ -87,18 +92,21 @@ def main():
                               cfg.dtype)
     ts = get_schedule(args.steps, cfg.seq_len, shift=False)
 
+    denoise = (wan_denoise_compiled if args.loop == 'compiled'
+               else wan_denoise)
+
     def run(ck, tag):
         m = WanModel(cfg=cfg, ck=ck, use_kernels=on_tpu)
         t0 = time.perf_counter()
-        out = wan_denoise(m, params, lat, ctx_c, ctx_u, ts,
-                          key=jax.random.PRNGKey(7))
+        out = denoise(m, params, lat, ctx_c, ctx_u, ts,
+                      key=jax.random.PRNGKey(7))
         _ = float(np.asarray(out.ravel()[0]))
         log(f"{tag}: warmup(+compile) {time.perf_counter()-t0:.1f}s")
         best = float('inf')
         for t in range(args.trials):
             t0 = time.perf_counter()
-            out = wan_denoise(m, params, lat, ctx_c, ctx_u, ts,
-                              key=jax.random.PRNGKey(7))
+            out = denoise(m, params, lat, ctx_c, ctx_u, ts,
+                          key=jax.random.PRNGKey(7))
             _ = float(np.asarray(out.ravel()[0]))
             dt = time.perf_counter() - t0
             log(f"{tag}: trial {t}: {dt:.2f}s")
@@ -124,6 +132,7 @@ def main():
                           if sparse_ck.attn.full_step_schedule is not None
                           else f"every {sparse_ck.attn.full_step_every}"),
         "dense_reused": args.dense_s is not None,
+        "loop": args.loop,
         "note": "full 30-layer Wan2.1-1.3B shapes, CFG 2 invocations/step; "
                 "reference publishes no Wan numbers (BASELINE.md)"}))
 
