@@ -71,7 +71,7 @@ def _build(depth, depth_single, quantize):
 
 
 def run_flux(depth, depth_single, quantize, cache_dtypes, trials=3,
-             side='both'):
+             side='both', loop='host'):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -116,8 +116,14 @@ def run_flux(depth, depth_single, quantize, cache_dtypes, trials=3,
         sp = FluxSparse.build(ck, model, seq, use_kernels=on_tpu)
         sampler = FluxSampler(cfg=model, ck=ck, sp=sp,
                               h_img=h_img, w_img=w_img)
+        # loop='compiled': the whole 50-step loop as ONE lax.scan dispatch
+        # (denoise_compiled) — removes the per-step host round trips and
+        # program-alternation overhead the host loop pays on a tunneled
+        # device; both sides use the same loop so the ratio stays honest
+        den = (sampler.denoise_compiled if loop == 'compiled'
+               else sampler.denoise)
         t0 = time.perf_counter()
-        out = sampler.denoise(params, img, txt, y, ts)
+        out = den(params, img, txt, y, ts)
         # materialize on host: block_until_ready can return early under
         # remote-tunnel backends, a device_get cannot
         _ = float(np.asarray(out[0, 0, 0]))
@@ -125,7 +131,7 @@ def run_flux(depth, depth_single, quantize, cache_dtypes, trials=3,
         best = float('inf')
         for trial in range(trials):
             t0 = time.perf_counter()
-            out = sampler.denoise(params, img, txt, y, ts)
+            out = den(params, img, txt, y, ts)
             _ = float(np.asarray(out[0, 0, 0]))
             dt = time.perf_counter() - t0
             log(f"{tag}: trial {trial}: {dt:.3f}s")
@@ -140,13 +146,14 @@ def run_flux(depth, depth_single, quantize, cache_dtypes, trials=3,
     return t_dense, t_sparse
 
 
-def _run_side_subprocess(side, timeout=2400):
+def _run_side_subprocess(side, loop='host', timeout=2400):
     """Run one side of the full-depth bench in its own process: the tunnel
     pins prior programs' argument buffers, so dense-then-sparse in ONE
     process can RESOURCE_EXHAUST on the sparse side (observed; same reason
     scripts/bench_hunyuan.py has --side).  Each side gets a fresh heap."""
     import subprocess
-    cmd = [sys.executable, os.path.abspath(__file__), '--side', side]
+    cmd = [sys.executable, os.path.abspath(__file__), '--side', side,
+           '--loop', loop]
     p = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
     sys.stderr.write(p.stderr)
     lines = [l for l in p.stdout.strip().splitlines() if l.startswith('{')]
@@ -161,11 +168,15 @@ def main():
     ap.add_argument('--side', default=None, choices=['dense', 'sparse'],
                     help='internal: run one full-depth side and print '
                          '{"side", "t"}')
+    ap.add_argument('--loop', default='host', choices=['host', 'compiled'],
+                    help='compiled = whole denoise loop as one lax.scan '
+                         'dispatch (FluxSampler.denoise_compiled), both '
+                         'sides')
     args = ap.parse_args()
     _enable_compile_cache()
     if args.side:
         t_d, t_s = run_flux(19, 38, quantize=True, cache_dtypes=True,
-                            side=args.side)
+                            side=args.side, loop=args.loop)
         print(json.dumps({"side": args.side,
                           "t": t_d if args.side == 'dense' else t_s}))
         return
@@ -174,8 +185,8 @@ def main():
     # residency; VERDICT r1 item 3); one subprocess per side so each
     # gets a fresh device heap
     try:
-        t_d = _run_side_subprocess('dense')
-        t_s = _run_side_subprocess('sparse')
+        t_d = _run_side_subprocess('dense', loop=args.loop)
+        t_s = _run_side_subprocess('sparse', loop=args.loop)
         speedup = t_d / t_s
         detail['full_depth'] = {'dense_s': round(t_d, 3),
                                 'sparse_s': round(t_s, 3)}

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ChipmunkConfig
-from ..schedule import step_plan, StepKind
+from ..schedule import step_plan, fold_skip_steps, StepKind
 from ..ops.patch import patch_order, inverse_patch_order
 from .flux import (FluxModelConfig, FluxSparse, FluxStep,
                    flux_forward, flux_rope_ids)
@@ -134,8 +134,11 @@ class FluxSampler:
                          key: Optional[jax.Array] = None) -> jnp.ndarray:
         """The whole denoise loop as ONE jitted lax.scan: the distinct step
         kinds appearing in the schedule become a lax.switch over statically
-        compiled model variants (plus a skip branch for step caching).  One
-        dispatch per generation — no host round-trips in the hot loop."""
+        compiled model variants.  Step-cached (skipped) steps are folded
+        into the preceding computed step's Euler increment at trace time
+        (schedule.fold_skip_steps) — a pass-through skip branch would force
+        XLA to copy the whole cache-state carry each step.  One dispatch
+        per generation — no host round-trips in the hot loop."""
         key = key if key is not None else jax.random.PRNGKey(0)
         B = img.shape[0]
         img = self.patchify_img(img)
@@ -145,30 +148,24 @@ class FluxSampler:
                                                   state0)
         plan = step_plan(self.ck)
         n = min(len(plan), timesteps.shape[0] - 1)
-
-        def sig(i):
-            k = plan[i]
-            if k.skip and i > 0:
-                return 'skip'
-            return (min(i, 2), k.full_attn, k.full_mlp, k.colsum,
-                    k.recompute_mlp_mask)
+        idxs, sigs, t_c, t_e = fold_skip_steps(plan, timesteps, n)
 
         uniq, kind_ix = [], []
-        for i in range(n):
-            s = sig(i)
+        for s in sigs:
             if s not in uniq:
                 uniq.append(s)
             kind_ix.append(uniq.index(s))
         kinds = jnp.asarray(kind_ix, jnp.int32)
         g = (jnp.full((B,), guidance, jnp.float32)
              if self.cfg.guidance_embed else None)
-        xs = (jnp.arange(n), kinds, timesteps[:n], timesteps[1:n + 1])
+        xs = (jnp.asarray(idxs, jnp.int32), kinds,
+              jnp.stack(t_c), jnp.stack(t_e))
 
         # cache the jitted runner per (schedule, shape) signature —
         # rebuilding it per call would re-trace the whole program; all
         # arrays are threaded as arguments (no captured constants)
-        cache_key = (n, img.shape, str(img.dtype), tuple(kind_ix),
-                     g is None)
+        cache_key = (n, tuple(idxs), img.shape, str(img.dtype),
+                     tuple(kind_ix), g is None)
         if cache_key not in self._compiled_runs:
             cfg, sp = self.cfg, self.sp
 
@@ -178,36 +175,43 @@ class FluxSampler:
                                     full_mlp=s[2], colsum=s[3],
                                     recompute_mlp_mask=s[4])
 
-                    def f(img, t_vec, state, pred, i):
+                    def f(img, t_vec, state, i):
                         return flux_forward(params, cfg, sp, img, txt,
                                             t_vec, y, pe, state, step,
                                             guidance=g,
                                             key=jax.random.fold_in(key, i))
                     return f
 
-                def skip_branch(img, t_vec, state, pred, i):
-                    return pred, state
-
-                branches = [skip_branch if s == 'skip' else model_branch(s)
-                            for s in uniq]
+                branches = [model_branch(s) for s in uniq]
 
                 def body(carry, x):
-                    img, state, pred = carry
-                    i, kind, t_curr, t_prev = x
+                    img, state = carry
+                    i, kind, t_curr, t_end = x
                     t_vec = jnp.full((B,), t_curr, jnp.float32)
-                    pred2, state2 = jax.lax.switch(kind, branches, img,
-                                                   t_vec, state, pred, i)
-                    img2 = (img + (t_prev - t_curr) * pred2
+                    pred, state2 = jax.lax.switch(kind, branches, img,
+                                                  t_vec, state, i)
+                    # t_end covers this step plus any folded skipped steps
+                    img2 = (img + (t_end - t_curr) * pred
                             ).astype(img.dtype)
-                    return (img2, state2, pred2.astype(img.dtype)), None
+                    return (img2, state2), None
 
-                (img_f, _, _), _ = jax.lax.scan(
-                    body, (img, state0, jnp.zeros_like(img)), xs)
-                return img_f
+                (img_f, state_f), _ = jax.lax.scan(body, (img, state0), xs)
+                # the final state is returned ONLY so state0's donation has
+                # an output to alias with — a donated input with no
+                # matching output is unusable and XLA then copies every
+                # cache buffer into the scan carry (measured 4.4 GiB of
+                # copy(state0_*) temps at full depth -> OOM); the caller
+                # discards it without ever transferring it
+                return img_f, state_f
 
-            self._compiled_runs[cache_key] = jax.jit(run)
-        out = self._compiled_runs[cache_key](params, img, state0, xs,
-                                             txt, y, pe, g, key)
+            # CPU ignores donation with a warning, so gate on backend
+            don = (2,) if jax.default_backend() != 'cpu' else ()
+            self._compiled_runs[cache_key] = jax.jit(run,
+                                                     donate_argnums=don)
+        out, _state_f = self._compiled_runs[cache_key](params, img, state0,
+                                                       xs, txt, y, pe, g,
+                                                       key)
+        del _state_f               # never transferred; frees device buffers
         return self.unpatchify_img(out)
 
     # ------------------------------------------- streamed (chunked) loop

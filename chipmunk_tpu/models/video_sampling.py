@@ -14,7 +14,7 @@ from typing import Callable, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from ..schedule import step_plan
+from ..schedule import step_plan, fold_skip_steps
 from .flux import FluxStep
 
 # jitted-runner cache shared by the samplers below (keyed by model identity,
@@ -153,8 +153,11 @@ def hunyuan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
                              txt_mask: Optional[jnp.ndarray] = None
                              ) -> jnp.ndarray:
     """The whole video denoise loop as ONE jitted lax.scan (same shape as
-    FluxSampler.denoise_compiled).  The jitted runner is cached per
-    (model, schedule, shape); all arrays are threaded as arguments."""
+    FluxSampler.denoise_compiled).  Skipped steps are folded into the
+    preceding computed step's Euler window (schedule.fold_skip_steps) so
+    no pass-through branch forces XLA to copy the cache-state carry.  The
+    jitted runner is cached per (model, schedule, shape); all arrays are
+    threaded as arguments."""
     key = key if key is not None else jax.random.PRNGKey(0)
     B = latents.shape[0]
     plan = step_plan(model.ck)
@@ -163,24 +166,19 @@ def hunyuan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
     g = (jnp.full((B,), guidance, jnp.float32)
          if model.cfg.guidance_embed else None)
     n = min(len(plan), timesteps.shape[0] - 1)
-
-    def sig(i):
-        k = plan[i]
-        if k.skip and i > 0:
-            return 'skip'
-        return (min(i, 2), k.full_attn, k.full_mlp, k.colsum,
-                k.recompute_mlp_mask)
+    idxs, sigs, t_c, t_e = fold_skip_steps(plan, timesteps, n)
 
     uniq, kind_ix = [], []
-    for i in range(n):
-        s = sig(i)
+    for s in sigs:
         if s not in uniq:
             uniq.append(s)
         kind_ix.append(uniq.index(s))
     kinds = jnp.asarray(kind_ix, jnp.int32)
-    xs = (jnp.arange(n), kinds, timesteps[:n], timesteps[1:n + 1])
+    xs = (jnp.asarray(idxs, jnp.int32), kinds, jnp.stack(t_c),
+          jnp.stack(t_e))
 
-    cache_key = ('hunyuan', _model_token(model), n, latents.shape, str(latents.dtype),
+    cache_key = ('hunyuan', _model_token(model), n, tuple(idxs),
+                 latents.shape, str(latents.dtype),
                  tuple(kind_ix), g is None, txt_mask is None)
     if cache_key not in _JIT_CACHE:
         def run(params, lat, state0, xs, txt, y, pe, g, key, txt_mask):
@@ -188,35 +186,38 @@ def hunyuan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
                 step = FluxStep(index=s[0], full_attn=s[1], full_mlp=s[2],
                                 colsum=s[3], recompute_mlp_mask=s[4])
 
-                def f(lat, t_vec, state, pred, i):
+                def f(lat, t_vec, state, i):
                     return model.forward(params, lat, txt, t_vec, y, state,
                                          step, guidance=g,
                                          key=jax.random.fold_in(key, i),
                                          pe=pe, txt_mask=txt_mask)
                 return f
 
-            def skip_branch(lat, t_vec, state, pred, i):
-                return pred, state
-
-            branches = [skip_branch if s == 'skip' else model_branch(s)
-                        for s in uniq]
+            branches = [model_branch(s) for s in uniq]
 
             def body(carry, x):
-                lat, state, pred = carry
-                i, kind, t_curr, t_prev = x
+                lat, state = carry
+                i, kind, t_curr, t_end = x
                 t_vec = jnp.full((B,), t_curr, jnp.float32)
-                pred2, state2 = jax.lax.switch(kind, branches, lat, t_vec,
-                                               state, pred, i)
-                lat2 = (lat + (t_prev - t_curr) * pred2).astype(lat.dtype)
-                return (lat2, state2, pred2.astype(lat.dtype)), None
+                pred, state2 = jax.lax.switch(kind, branches, lat, t_vec,
+                                              state, i)
+                # t_end covers this step plus any folded skipped steps
+                lat2 = (lat + (t_end - t_curr) * pred).astype(lat.dtype)
+                return (lat2, state2), None
 
-            (lat_f, _, _), _ = jax.lax.scan(
-                body, (lat, state0, jnp.zeros_like(lat)), xs)
-            return lat_f
+            (lat_f, state_f), _ = jax.lax.scan(body, (lat, state0), xs)
+            # returned ONLY so state0's donation has an output to alias
+            # with (an unmatched donated input is unusable and XLA copies
+            # the whole cache carry); discarded by the caller untransferred
+            return lat_f, state_f
 
-        _JIT_CACHE[cache_key] = jax.jit(run)
-    return _JIT_CACHE[cache_key](params, latents, state0, xs, txt, y, pe,
-                                 g, key, txt_mask)
+        # CPU ignores donation with a warning, so gate on backend
+        don = (2,) if jax.default_backend() != 'cpu' else ()
+        _JIT_CACHE[cache_key] = jax.jit(run, donate_argnums=don)
+    out, _state_f = _JIT_CACHE[cache_key](params, latents, state0, xs,
+                                          txt, y, pe, g, key, txt_mask)
+    del _state_f
+    return out
 
 
 def wan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
@@ -224,39 +225,37 @@ def wan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
                          timesteps: jnp.ndarray, guide_scale: float = 5.0,
                          key: Optional[jax.Array] = None) -> jnp.ndarray:
     """Single-dispatch CFG loop: both invocations (cond/uncond, each with
-    its own cache state) inside one scanned step."""
+    its own cache state) inside one scanned step.  Skipped steps fold
+    into the preceding computed step's Euler window
+    (schedule.fold_skip_steps) — the pass-through skip branch previously
+    made XLA copy both cache-state carries each step (2 x 2.81 GiB at the
+    real 32k grid -> OOM)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     B = latents.shape[0]
     plan = step_plan(model.ck)
     st_c0, st_u0 = model.init_cfg_states(B)
     pe = model.rope(B)
     n = min(len(plan), timesteps.shape[0] - 1)
-
-    def sig(i):
-        k = plan[i]
-        if k.skip and i > 0:
-            return 'skip'
-        return (min(i, 2), k.full_attn, k.full_mlp, k.colsum,
-                k.recompute_mlp_mask)
+    idxs, sigs, t_c, t_e = fold_skip_steps(plan, timesteps, n)
 
     uniq, kind_ix = [], []
-    for i in range(n):
-        s = sig(i)
+    for s in sigs:
         if s not in uniq:
             uniq.append(s)
         kind_ix.append(uniq.index(s))
     kinds = jnp.asarray(kind_ix, jnp.int32)
-    xs = (jnp.arange(n), kinds, timesteps[:n], timesteps[1:n + 1])
+    xs = (jnp.asarray(idxs, jnp.int32), kinds, jnp.stack(t_c),
+          jnp.stack(t_e))
 
-    cache_key = ('wan', _model_token(model), n, latents.shape, str(latents.dtype),
-                 tuple(kind_ix), float(guide_scale))
+    cache_key = ('wan', _model_token(model), n, tuple(idxs), latents.shape,
+                 str(latents.dtype), tuple(kind_ix), float(guide_scale))
     if cache_key not in _JIT_CACHE:
         def run(params, lat, st_c, st_u, xs, ctx_c, ctx_u, key):
             def model_branch(s):
                 step = FluxStep(index=s[0], full_attn=s[1], full_mlp=s[2],
                                 colsum=s[3], recompute_mlp_mask=s[4])
 
-                def f(lat, t_vec, st_c, st_u, pred, i):
+                def f(lat, t_vec, st_c, st_u, i):
                     k_i = jax.random.fold_in(key, i)
                     p_c, st_c = model.forward(params, lat, ctx_c, t_vec,
                                               st_c, step, key=k_i, pe=pe)
@@ -265,25 +264,31 @@ def wan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
                     return (p_u + guide_scale * (p_c - p_u)), st_c, st_u
                 return f
 
-            def skip_branch(lat, t_vec, st_c, st_u, pred, i):
-                return pred, st_c, st_u
-
-            branches = [skip_branch if s == 'skip' else model_branch(s)
-                        for s in uniq]
+            branches = [model_branch(s) for s in uniq]
 
             def body(carry, x):
-                lat, st_c, st_u, pred = carry
-                i, kind, t_curr, t_prev = x
+                lat, st_c, st_u = carry
+                i, kind, t_curr, t_end = x
                 t_vec = jnp.full((B,), t_curr, jnp.float32)
-                pred2, st_c, st_u = jax.lax.switch(
-                    kind, branches, lat, t_vec, st_c, st_u, pred, i)
-                lat2 = (lat + (t_prev - t_curr) * pred2).astype(lat.dtype)
-                return (lat2, st_c, st_u, pred2.astype(lat.dtype)), None
+                pred, st_c, st_u = jax.lax.switch(
+                    kind, branches, lat, t_vec, st_c, st_u, i)
+                # t_end covers this step plus any folded skipped steps
+                lat2 = (lat + (t_end - t_curr) * pred).astype(lat.dtype)
+                return (lat2, st_c, st_u), None
 
-            (lat_f, _, _, _), _ = jax.lax.scan(
-                body, (lat, st_c, st_u, jnp.zeros_like(lat)), xs)
-            return lat_f
+            (lat_f, st_cf, st_uf), _ = jax.lax.scan(body, (lat, st_c, st_u),
+                                                    xs)
+            # final states returned ONLY so the donated st_c/st_u have
+            # outputs to alias with (an unmatched donated input is
+            # unusable and XLA copies both cache carries — 2 x 2.81 GiB
+            # at the 32k grid -> OOM); discarded untransferred
+            return lat_f, st_cf, st_uf
 
-        _JIT_CACHE[cache_key] = jax.jit(run)
-    return _JIT_CACHE[cache_key](params, latents, st_c0, st_u0, xs,
-                                 ctx_cond, ctx_uncond, key)
+        # CPU ignores donation with a warning, so gate on backend
+        don = (2, 3) if jax.default_backend() != 'cpu' else ()
+        _JIT_CACHE[cache_key] = jax.jit(run, donate_argnums=don)
+    out, _st_c, _st_u = _JIT_CACHE[cache_key](params, latents, st_c0,
+                                              st_u0, xs, ctx_cond,
+                                              ctx_uncond, key)
+    del _st_c, _st_u
+    return out

@@ -81,3 +81,37 @@ def step_plan(cfg: ChipmunkConfig) -> Tuple[StepKind, ...]:
                  recompute_mlp_mask=bool(rm[i]), skip=bool(sk[i]), is_first=(i == 0))
         for i in range(cfg.steps)
     )
+
+
+def fold_skip_steps(plan, timesteps, n):
+    """Collapse step-cached (skipped) steps into the preceding computed
+    step's Euler increment, for the single-dispatch compiled loops.
+
+    A skipped step reuses the last prediction (reference hunyuan
+    models.py:733-741, wan model.py:580-593), so the Euler increments
+    telescope: a computed step at t_i followed by skipped steps through
+    t_k integrates to ``lat += (t_{k+1} - t_i) * pred_i``.  Scanning over
+    computed steps only removes the pass-through 'skip' branch from the
+    compiled ``lax.switch`` — which matters for memory, not just dispatch
+    count: XLA cannot alias a scan carry that one branch returns untouched
+    and another rebuilds, so it copied the entire cache-state carry every
+    step (measured: 2 x 2.81 GiB HLO-temp copies at Wan 32k seq -> OOM).
+
+    Returns ``(indices, step_sigs, t_curr, t_end)`` lists over computed
+    steps; ``step_sigs`` entries are ``(min(i, 2), full_attn, full_mlp,
+    colsum, recompute_mlp_mask)`` — the static step-kind signature the
+    compiled loops switch over.
+    """
+    idxs, sigs, t_curr, t_end = [], [], [], []
+    for i in range(n):
+        k = plan[i]
+        if k.skip and i > 0:
+            # extend the previous computed step's integration window
+            t_end[-1] = timesteps[i + 1]
+            continue
+        idxs.append(i)
+        sigs.append((min(i, 2), k.full_attn, k.full_mlp, k.colsum,
+                     k.recompute_mlp_mask))
+        t_curr.append(timesteps[i])
+        t_end.append(timesteps[i + 1])
+    return idxs, sigs, t_curr, t_end

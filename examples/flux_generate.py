@@ -61,6 +61,12 @@ def main():
                     help='shrink hidden/heads/txt for a CPU smoke run '
                          '(pipeline demo only; keeps head_dim=128)')
     ap.add_argument('--out', default='flux_latents.npy')
+    ap.add_argument('--loop', default='host', choices=['host', 'compiled'],
+                    help='host = one jitted program per step kind (the '
+                         'measured-fastest default: 11.6s vs 16.7s for the '
+                         'single-dispatch scan at full depth, '
+                         'results/bench_flux_compiled_sparse.log); '
+                         'compiled = whole loop as one lax.scan dispatch')
     args = ap.parse_args()
 
     ck = (load_config(args.chipmunk_config) if args.chipmunk_config
@@ -126,8 +132,10 @@ def main():
     timer = StepTimer()
     with profile_region('./profiles', enabled=args.profile):
         with timer.span('denoise'):
-            out = sampler.denoise_compiled(params, img, txt, y, ts,
-                                           guidance=args.guidance, key=ks[2])
+            den = (sampler.denoise_compiled if args.loop == 'compiled'
+                   else sampler.denoise)
+            out = den(params, img, txt, y, ts,
+                      guidance=args.guidance, key=ks[2])
             jax.block_until_ready(out)
     import numpy as np
     if args.ae:

@@ -53,6 +53,12 @@ def main():
                     help='shrink dim/heads/ffn/txt for a CPU smoke run '
                          '(pipeline demo only; keeps head_dim=128)')
     ap.add_argument('--out', default='wan_latents.npy')
+    ap.add_argument('--loop', default='host', choices=['host', 'compiled'],
+                    help='host = one jitted program per step kind (default; '
+                         'the single-dispatch scan crashed the TPU worker '
+                         'at the real 32k grid, '
+                         'results/bench_wan_compiled.log); compiled = whole '
+                         'CFG loop as one lax.scan dispatch')
     args = ap.parse_args()
 
     ck = (load_config(args.chipmunk_config) if args.chipmunk_config
@@ -109,8 +115,9 @@ def main():
     ts = get_schedule(args.steps, cfg.seq_len, shift=False)
 
     t0 = time.perf_counter()
-    out = wan_denoise_compiled(model, params, lat, ctx_c, ctx_u, ts,
-                               guide_scale=args.guide_scale, key=ks[3])
+    den = wan_denoise_compiled if args.loop == 'compiled' else wan_denoise
+    out = den(model, params, lat, ctx_c, ctx_u, ts,
+              guide_scale=args.guide_scale, key=ks[3])
     jax.block_until_ready(out)
     print(f"done in {time.perf_counter()-t0:.1f}s")
     import numpy as np
