@@ -237,6 +237,40 @@ class HunyuanModel:
             static_mask_tokens=jnp.asarray(mask), batch=self.batch,
             valid_len=seq if pad else None,
             use_kernels=self.use_kernels, interpret=self.interpret)
+        # set via .sharded(): (mesh, sp_axis, dp_axis, fsdp)
+        self.mesh_info = None
+
+    # ------------------------------------------------------- multi-chip
+    def sharded(self, mesh, sp: str = 'sp', dp: Optional[str] = None,
+                fsdp: bool = False) -> "HunyuanModel":
+        """Multi-chip model: Ulysses head-parallel attention over mesh
+        axis ``sp`` — the reference's only chipmunk-aware multi-GPU path,
+        and it exists specifically FOR this video model (hyvideo/modules/
+        head_parallel.py:42-115, invoked from models.py:225-236, sharded
+        at inference.py:63-69).  Optional batch data-parallel over ``dp``
+        and FSDP weight sharding.  Returns a NEW model instance (fresh
+        jit-cache identity: the denoise loops key compiled steps on the
+        model instance, and the sharded forward is a different program)
+        whose denoise calls place params/inputs/state onto the mesh
+        automatically.  Sparsity state (indices/out_cache/lse) shards
+        over heads and stays fully local per head shard — the reference
+        invariant (SURVEY.md §3.4)."""
+        import copy
+        m = copy.copy(self)
+        m.__dict__.pop('_jit_cache_token', None)
+        m.sp = self.sp.with_ulysses(mesh, sp, batch_axis=dp)
+        m.mesh_info = (mesh, sp, dp, fsdp)
+        return m
+
+    def place(self, params, arrays, state):
+        """Place a denoise input set onto the mesh (no-op when not
+        sharded).  arrays: any tuple of batch-leading tensors."""
+        if self.mesh_info is None:
+            return params, tuple(arrays), state
+        from ..parallel.sharding import place_video_inputs
+        mesh, sp_ax, dp_ax, fsdp = self.mesh_info
+        return place_video_inputs(mesh, params, arrays, state,
+                                  sp=sp_ax, dp=dp_ax, fsdp=fsdp)
 
     # ------------------------------------------------------------ tokens
     def patchify_video(self, latents: jnp.ndarray) -> jnp.ndarray:
@@ -361,15 +395,21 @@ class HunyuanModel:
 
     def forward_streamed(self, params: Dict, latents, txt, t_vec, y,
                          runner, sst, step: FluxStep,
-                         guidance=None, key=None, pe=None):
+                         guidance=None, key=None, pe=None,
+                         txt_mask: Optional[jnp.ndarray] = None):
         """Streamed equivalent of forward(): per-layer caches live host-
         side in chunks (mutated in ``sst``); compute streams layer-chunk by
-        layer-chunk.  Returns the velocity prediction only."""
+        layer-chunk.  Returns the velocity prediction only.  txt_mask
+        reaches the masked text refiner exactly as in forward() — the
+        jit cache is keyed on mask presence since None vs array is a
+        different trace."""
         B = latents.shape[0]
         cfg = self.cfg
-        if not hasattr(self, '_prep_jit'):
-            self._prep_jit = jax.jit(self.prep_tokens)
-        img, txt_ref = self._prep_jit(params, latents, txt, t_vec)
+        prep_key = '_prep_jit' if txt_mask is None else '_prep_jit_masked'
+        if not hasattr(self, prep_key):
+            setattr(self, prep_key, jax.jit(self.prep_tokens))
+        img, txt_ref = getattr(self, prep_key)(params, latents, txt,
+                                               t_vec, txt_mask)
         pe = pe if pe is not None else self.rope(B)
         pred = runner.forward(params, sst, img, txt_ref, t_vec, y, pe,
                               step, guidance=guidance, key=key)

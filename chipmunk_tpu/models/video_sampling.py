@@ -76,6 +76,11 @@ def hunyuan_denoise(model, params: Dict, latents: jnp.ndarray,
     plan = step_plan(model.ck)
     state = model.init_state(B) if streamed is None else None
     runner, sst = streamed if streamed is not None else (None, None)
+    if state is not None and getattr(model, 'mesh_info', None):
+        # multi-chip (model.sharded(...)): params/inputs/state onto the
+        # mesh; attention runs Ulysses head-parallel inside the step
+        params, (latents, txt, y, txt_mask), state = model.place(
+            params, (latents, txt, y, txt_mask), state)
     pe = model.rope(B)
     g = (jnp.full((B,), guidance, jnp.float32)
          if model.cfg.guidance_embed else None)
@@ -95,7 +100,8 @@ def hunyuan_denoise(model, params: Dict, latents: jnp.ndarray,
         if streamed is not None:
             pred = model.forward_streamed(params, latents, txt, t_vec, y,
                                           runner, sst, step, guidance=g,
-                                          key=k_i, pe=pe)
+                                          key=k_i, pe=pe,
+                                          txt_mask=txt_mask)
         else:
             fn = _jit_step(model, step, 'hy-step')
             pred, state = fn(params, latents, txt, t_vec, y, state, g,
@@ -121,6 +127,10 @@ def wan_denoise(model, params: Dict, latents: jnp.ndarray,
     B = latents.shape[0]
     plan = step_plan(model.ck)
     st_c, st_u = model.init_cfg_states(B)
+    if getattr(model, 'mesh_info', None):
+        params, (latents, ctx_cond, ctx_uncond), st_c = model.place(
+            params, (latents, ctx_cond, ctx_uncond), st_c)
+        _, _, st_u = model.place(params, (), st_u)
     pe = model.rope(B)
     pred = None
     n = min(len(plan), timesteps.shape[0] - 1)
@@ -162,6 +172,9 @@ def hunyuan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
     B = latents.shape[0]
     plan = step_plan(model.ck)
     state0 = model.init_state(B)
+    if getattr(model, 'mesh_info', None):
+        params, (latents, txt, y, txt_mask), state0 = model.place(
+            params, (latents, txt, y, txt_mask), state0)
     pe = model.rope(B)
     g = (jnp.full((B,), guidance, jnp.float32)
          if model.cfg.guidance_embed else None)
@@ -234,6 +247,10 @@ def wan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
     B = latents.shape[0]
     plan = step_plan(model.ck)
     st_c0, st_u0 = model.init_cfg_states(B)
+    if getattr(model, 'mesh_info', None):
+        params, (latents, ctx_cond, ctx_uncond), st_c0 = model.place(
+            params, (latents, ctx_cond, ctx_uncond), st_c0)
+        _, _, st_u0 = model.place(params, (), st_u0)
     pe = model.rope(B)
     n = min(len(plan), timesteps.shape[0] - 1)
     idxs, sigs, t_c, t_e = fold_skip_steps(plan, timesteps, n)

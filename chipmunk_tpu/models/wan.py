@@ -173,6 +173,38 @@ class WanModel:
             self.ck.mlp, self.batch * self.seq_padded, self.cfg.dim,
             self.cfg.ffn_dim,
             use_kernels=self.use_kernels, interpret=self.interpret)
+        # set via .sharded(): ulysses = (mesh, sp_axis, batch_axis),
+        # mesh_info = (mesh, sp_axis, dp_axis, fsdp)
+        self.ulysses = None
+        self.mesh_info = None
+
+    # ------------------------------------------------------- multi-chip
+    def sharded(self, mesh, sp: str = 'sp', dp: Optional[str] = None,
+                fsdp: bool = False) -> "WanModel":
+        """Multi-chip model: Ulysses head-parallel self-attention over
+        mesh axis ``sp`` (reference head_parallel.py semantics; the
+        reference's own Wan integration only has dense xDiT USP which
+        BYPASSES chipmunk, xdit_context_parallel.py:179-185 — here the
+        sparse path itself is head-parallel).  Returns a NEW model
+        instance (fresh jit-cache identity); denoise calls place
+        params/inputs/state onto the mesh automatically.  Sparsity state
+        shards over heads and stays local per head shard."""
+        import copy
+        m = copy.copy(self)
+        m.__dict__.pop('_jit_cache_token', None)
+        m.ulysses = (mesh, sp, dp)
+        m.mesh_info = (mesh, sp, dp, fsdp)
+        return m
+
+    def place(self, params, arrays, state):
+        """Place a denoise input set onto the mesh (no-op when not
+        sharded)."""
+        if self.mesh_info is None:
+            return params, tuple(arrays), state
+        from ..parallel.sharding import place_video_inputs
+        mesh, sp_ax, dp_ax, fsdp = self.mesh_info
+        return place_video_inputs(mesh, params, arrays, state,
+                                  sp=sp_ax, dp=dp_ax, fsdp=fsdp)
 
     # ------------------------------------------------------------ tokens
     def patchify_video(self, latents: jnp.ndarray) -> jnp.ndarray:
@@ -263,7 +295,7 @@ class WanModel:
             k = apply_rope(k, cos, sin)
             is_dense = idx < self.ck.attn.first_n_dense_layers
             o, ast2 = _attn_call(self.attn_mod, q, k, v, ast, step,
-                                 is_dense, lkey)
+                                 is_dense, lkey, ulysses=self.ulysses)
             o = o.transpose(0, 2, 1, 3).reshape(B, -1, cfg.dim)
             x = x + mod[:, 2] * linear(p['o'], o)
 

@@ -193,6 +193,17 @@ class SparseDiffAttn:
                               valid_len=valid_len, dense_tail_g=dense_tail_g,
                               fully_dense=fully_dense)
 
+    @property
+    def materialized(self) -> bool:
+        """Whether compressed states ALSO carry the cached (inds, counts)
+        next to the packed mask (cfg.materialize_indices; None = yes).
+        Static per module — the state layout is fixed at init_state time
+        from the same config, so no shape sniffing is needed (ADVICE r4:
+        inferring this from state.inds.shape breaks when jmax
+        degenerates to 1)."""
+        mat = self.cfg.materialize_indices
+        return True if mat is None else bool(mat)
+
     # ---------------------------------------------------------------- ops
     def _fix_pad_lse(self, lse):
         """Pad queries must carry PAD_LSE so their colsum contribution on
@@ -304,7 +315,7 @@ class SparseDiffAttn:
         states, reference attn.py:173-179)."""
         if not self.cfg.should_compress_indices:
             return state.inds, state.counts
-        if state.inds.shape[-1] == self.jmax:       # materialized cache
+        if self.materialized:                       # materialized cache
             return state.inds, state.counts
         from ..ops.bitpack import bitunpack_rows
         nb = self.seq_len // self.cfg.kv_block
@@ -315,7 +326,7 @@ class SparseDiffAttn:
         if self.cfg.should_compress_indices:
             from ..ops.bitpack import bitpack_rows
             state = state._replace(packed=bitpack_rows(mask))
-            if state.inds.shape[-1] == self.jmax:   # materialized cache
+            if self.materialized:                   # materialized cache
                 state = state._replace(inds=inds, counts=counts)
             return state
         return state._replace(inds=inds, counts=counts)
@@ -391,9 +402,8 @@ class SparseDiffAttn:
                              packed=jnp.zeros((1, 1, 1, 1), jnp.uint8))
         oc_dt = (jnp.dtype(self.cfg.out_cache_dtype)
                  if self.cfg.out_cache_dtype else None)
-        mat = self.cfg.materialize_indices
         return init_attn_state(B, H, self.seq_len, D, self.jmax,
                                self.cfg.kv_block, dtype,
                                out_cache_dtype=oc_dt,
                                compress=self.cfg.should_compress_indices,
-                               materialize=True if mat is None else mat)
+                               materialize=self.materialized)

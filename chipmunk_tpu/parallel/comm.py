@@ -95,6 +95,10 @@ def ulysses_attention(mesh: Mesh, axis: str,
     must replicate-then-repartition every q/k/v (the "involuntary full
     rematerialization" warning in MULTICHIP_r02.json).
     """
+    if batch_axis and q.shape[0] % mesh.shape[batch_axis] != 0:
+        # batch indivisible over dp (e.g. a CFG host loop invoking the
+        # model with B=1 per branch): fall back to sp-only sharding
+        batch_axis = None
     qspec = P(batch_axis, None, axis, None)
     n_axis = mesh.shape[axis]
     n_batch = mesh.shape[batch_axis] if batch_axis else 1

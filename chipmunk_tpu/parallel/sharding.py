@@ -59,6 +59,34 @@ def chipmunk_state_shardings(state, mesh: Mesh, sp: str = 'sp',
     return jax.tree_util.tree_map_with_path(spec, state)
 
 
+def place_video_inputs(mesh: Mesh, params, arrays, state,
+                       sp: str = 'sp', dp: str = None, fsdp: bool = False):
+    """Device-put a video-model denoise input set onto the mesh: params
+    replicated (or FSDP-sharded over ``sp``), each array in ``arrays``
+    batch-sharded over ``dp`` (replicated if dp is None or indivisible),
+    chipmunk state per chipmunk_state_shardings.  Returns
+    (params, placed_arrays, state).  The video analogue of
+    place_flux_inputs — used by HunyuanModel.sharded()/WanModel.sharded()
+    denoise paths (reference multi-GPU: hyvideo inference.py:63-69 token
+    shards + head_parallel.py a2a)."""
+    repl = NamedSharding(mesh, P())
+    n_dp = mesh.shape[dp] if dp else 1
+    params = (shard_params(params, mesh, sp) if fsdp
+              else jax.device_put(params, repl))
+
+    def put(x):
+        if x is None:
+            return None
+        if dp and x.ndim >= 1 and x.shape[0] % n_dp == 0:
+            return jax.device_put(x, NamedSharding(mesh, P(dp)))
+        return jax.device_put(x, repl)
+
+    placed = tuple(put(a) for a in arrays)
+    state = jax.device_put(state,
+                           chipmunk_state_shardings(state, mesh, sp, dp))
+    return params, placed, state
+
+
 def place_flux_inputs(mesh: Mesh, params, img, txt, y, state,
                       sp: str = 'sp', dp: str = None, fsdp: bool = False):
     """Device-put a full FLUX denoise input set onto the mesh: params

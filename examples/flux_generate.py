@@ -130,7 +130,15 @@ def main():
     ts = get_schedule(args.steps, h_img * w_img)
 
     timer = StepTimer()
-    with profile_region('./profiles', enabled=args.profile):
+    # --profile traces unconditionally; the config keys follow the
+    # reference gate exactly (flux sampling.py:317: should_profile AND
+    # generation_index >= 3 — the yml asks for a trace by setting both,
+    # generation_index standing in for the reference CLI's warmed-up
+    # generation counter since this entry is one generation per process)
+    prof_on = args.profile or ck.should_profile
+    prof_warm = args.profile or ck.generation_index >= 3
+    with profile_region('./profiles', enabled=prof_on,
+                        warmup_done=prof_warm):
         with timer.span('denoise'):
             den = (sampler.denoise_compiled if args.loop == 'compiled'
                    else sampler.denoise)

@@ -27,6 +27,28 @@ from chipmunk_tpu.models.sampling import get_schedule
 from chipmunk_tpu.utils.offload import OffloadPolicy
 
 
+def parse_mesh(spec: str) -> dict:
+    """'sp=4,dp=2' -> {'sp': 4, 'dp': 2}."""
+    axes = {}
+    for part in spec.split(','):
+        k, v = part.split('=')
+        axes[k.strip()] = int(v)
+    return axes
+
+
+def build_mesh(axes: dict):
+    """Mesh with dp outermost (DCN/slower axis) then sp (ICI)."""
+    from chipmunk_tpu.parallel.comm import make_mesh
+    ordered = {k: axes[k] for k in ('dp', 'sp') if k in axes}
+    need = 1
+    for v in ordered.values():
+        need *= v
+    if need > len(jax.devices()):
+        raise SystemExit(f"--mesh needs {need} devices, have "
+                         f"{len(jax.devices())}")
+    return make_mesh(ordered)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--chipmunk-config', default=None)
@@ -61,6 +83,17 @@ def main():
     ap.add_argument('--coordinator', default=None)
     ap.add_argument('--num-processes', type=int, default=None)
     ap.add_argument('--process-id', type=int, default=None)
+    ap.add_argument('--mesh', default=None,
+                    help='multi-chip mesh, e.g. "sp=4" or "sp=4,dp=2": '
+                         'Ulysses head-parallel attention over sp '
+                         '(the reference\'s multi-GPU path for THIS '
+                         'model, hyvideo/modules/head_parallel.py), '
+                         'batch data-parallel over dp.  num_heads must '
+                         'be divisible by sp.')
+    ap.add_argument('--interactive', action='store_true',
+                    help='persistent prompt loop reusing the compiled '
+                         'sampler across generations (reference '
+                         'sample_video.py:61-117)')
     args = ap.parse_args()
 
     if args.multihost:
@@ -73,6 +106,13 @@ def main():
     ck = (load_config(args.chipmunk_config) if args.chipmunk_config
           else ChipmunkConfig())
     ck = ck.replace(steps=args.steps)
+    if args.mesh and not args.chipmunk_config:
+        # the implicit default offloads attn caches (reference hunyuan
+        # yml); with a mesh the caches shard 1/sp per chip instead —
+        # residency replaces offload (see --mesh + offloading error below)
+        import dataclasses
+        ck = ck.replace(offloading=dataclasses.replace(
+            ck.offloading, global_disable_offloading=True))
 
     h, w = args.video_size
     lat_t = (args.video_length - 1) // 4 + 1
@@ -84,6 +124,17 @@ def main():
         depth_double=args.depth, depth_single=args.depth_single,
         dtype=jnp.bfloat16 if on_tpu else jnp.float32, **tiny)
     model = HunyuanModel(cfg=cfg, ck=ck, use_kernels=on_tpu)
+    if args.mesh:
+        axes = parse_mesh(args.mesh)
+        sp_n = axes.get('sp', 1)
+        if cfg.num_heads % sp_n:
+            raise SystemExit(f"num_heads={cfg.num_heads} not divisible "
+                             f"by sp={sp_n}")
+        mesh = build_mesh(axes)
+        model = model.sharded(mesh, sp='sp',
+                              dp='dp' if 'dp' in axes else None)
+        print(f"mesh {dict(mesh.shape)}: Ulysses head-parallel attention "
+              f"over sp={sp_n}, AttnState sharded per head shard")
 
     print("initializing params (pass real weights via loaders for "
           "production use)")
@@ -92,28 +143,28 @@ def main():
         params = load_hunyuan_safetensors(args.ckpt, cfg)
     else:
         params = init_hunyuan_params(jax.random.PRNGKey(1), cfg)
-    ks = jax.random.split(jax.random.PRNGKey(args.seed), 3)
-    lat = jax.random.normal(ks[0], (1, cfg.in_channels, cfg.latent_t,
-                                    cfg.latent_h, cfg.latent_w), cfg.dtype)
-    txt_mask = None
-    if args.prompt and args.llm and args.clip:
-        # real prompts: LLaVA-LLaMA template encode (skip-layer + crop,
-        # reference text_encoder/__init__.py:306-333) + CLIP pooled vec
+    # text encoders: kept alive across prompts in --interactive mode
+    # (the reference JIT-offloads them between uses, inference.py:234-249)
+    enc = None
+    if args.llm and args.clip:
         from chipmunk_tpu.models.video_encoders import HunyuanTextEncoders
         enc = HunyuanTextEncoders(llm_path=args.llm, clip_path=args.clip,
                                   max_length=cfg.txt_len + 95)
-        txt, txt_mask, y = enc.embed([args.prompt])
-        enc.release()      # the reference JIT-offloads encoders too
-        txt = txt[:, :cfg.txt_len].astype(cfg.dtype)
-        txt_mask = txt_mask[:, :cfg.txt_len]
-        y = y.astype(cfg.dtype)
-    else:
-        if args.prompt:
+
+    def encode(prompt):
+        if prompt and enc is not None:
+            # real prompts: LLaVA-LLaMA template encode (skip-layer +
+            # crop, reference text_encoder/__init__.py:306-333) + CLIP
+            txt, txt_mask, y = enc.embed([prompt])
+            return (txt[:, :cfg.txt_len].astype(cfg.dtype),
+                    txt_mask[:, :cfg.txt_len], y.astype(cfg.dtype))
+        if prompt:
             import sys as _sys
             print("WARNING: --prompt given without --llm/--clip; using "
                   "zero embeddings", file=_sys.stderr)
-        txt = jnp.zeros((1, cfg.txt_len, cfg.text_dim), cfg.dtype)
-        y = jnp.zeros((1, cfg.vec_in_dim), cfg.dtype)
+        return (jnp.zeros((1, cfg.txt_len, cfg.text_dim), cfg.dtype),
+                None, jnp.zeros((1, cfg.vec_in_dim), cfg.dtype))
+
     ts = get_schedule(args.steps, cfg.img_len, shift=False)
 
     # honor the config's offloading block (reference hunyuan
@@ -125,19 +176,19 @@ def main():
         policy.wants_host(n) for n in
         ('attn_out_cache', 'attn_indices', 'mlp_out_cache',
          'mlp_act_cache'))
-    t0 = time.perf_counter()
+    if use_streamed and args.mesh:
+        raise SystemExit("--mesh and offloading are mutually exclusive: "
+                         "the streamed runner has no mesh path (sharding "
+                         "the caches over sp removes the HBM pressure "
+                         "that offloading works around — drop the "
+                         "offloading: block instead)")
+    streamed = None
     if use_streamed:
         print("offloading config active -> streamed (host-offload) runner")
         streamed = model.make_streamed()
-        out = hunyuan_denoise(model, params, lat, txt, y, ts,
-                              key=ks[2], streamed=streamed,
-                              txt_mask=txt_mask)
-    else:
-        out = hunyuan_denoise_compiled(model, params, lat, txt, y, ts,
-                                       key=ks[2], txt_mask=txt_mask)
-    jax.block_until_ready(out)
-    print(f"done in {time.perf_counter()-t0:.1f}s")
+
     import numpy as np
+    vp = vcfg = None
     if args.vae:
         from chipmunk_tpu.models.video_vae import (
             HyVaeConfig, hunyuan_vae_decode, init_hunyuan_vae_decoder,
@@ -146,15 +197,62 @@ def main():
         vp = (init_hunyuan_vae_decoder(jax.random.PRNGKey(7), vcfg)
               if args.vae == 'random'
               else load_hunyuan_vae_safetensors(args.vae, vcfg))
-        pix = hunyuan_vae_decode(vp, out.astype(jnp.float32), vcfg)
-        # [-1,1] -> uint8 frames [B, 3, T, H, W]
-        frames = np.asarray(jnp.clip((pix + 1.0) * 127.5, 0, 255)
-                            ).astype(np.uint8)
-        np.save(args.out, frames)
-        print(f"pixels {frames.shape} -> {args.out}")
-    else:
-        np.save(args.out, np.asarray(out, np.float32))
-        print(f"latents -> {args.out}")
+
+    # config-driven profiler gate (reference flux sampling.py:317:
+    # should_profile AND generation_index >= 3); the counter advances
+    # per generation so an --interactive session warms the compile
+    # caches on the first generations and traces the steady state
+    from chipmunk_tpu.utils.profiling import profile_region
+    gen_counter = {'i': ck.generation_index}
+
+    def generate(prompt, seed, out_path):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+        lat = jax.random.normal(
+            ks[0], (1, cfg.in_channels, cfg.latent_t, cfg.latent_h,
+                    cfg.latent_w), cfg.dtype)
+        txt, txt_mask, y = encode(prompt)
+        t0 = time.perf_counter()
+        with profile_region('./profiles', enabled=ck.should_profile,
+                            warmup_done=gen_counter['i'] >= 3):
+            if streamed is not None:
+                out = hunyuan_denoise(model, params, lat, txt, y, ts,
+                                      key=ks[2], streamed=streamed,
+                                      txt_mask=txt_mask)
+            else:
+                out = hunyuan_denoise_compiled(model, params, lat, txt, y,
+                                               ts, key=ks[2],
+                                               txt_mask=txt_mask)
+            jax.block_until_ready(out)
+        gen_counter['i'] += 1
+        print(f"done in {time.perf_counter()-t0:.1f}s")
+        if vp is not None:
+            pix = hunyuan_vae_decode(vp, out.astype(jnp.float32), vcfg)
+            # [-1,1] -> uint8 frames [B, 3, T, H, W]
+            frames = np.asarray(jnp.clip((pix + 1.0) * 127.5, 0, 255)
+                                ).astype(np.uint8)
+            np.save(out_path, frames)
+            print(f"pixels {frames.shape} -> {out_path}")
+        else:
+            np.save(out_path, np.asarray(out, np.float32))
+            print(f"latents -> {out_path}")
+
+    generate(args.prompt, args.seed, args.out)
+    if args.interactive:
+        # persistent prompt loop over the already-compiled sampler
+        # (reference sample_video.py:61-117's Ray-actor prompt loop);
+        # each generation reuses the cached jitted denoise — only the
+        # text encode + denoise execute, no recompilation
+        gen_i = 1
+        stem = args.out.rsplit('.npy', 1)[0]
+        while True:
+            try:
+                prompt = input("prompt> ").strip()
+            except EOFError:
+                break
+            if not prompt or prompt in ('exit', 'quit'):
+                break
+            generate(prompt, args.seed + gen_i, f"{stem}_{gen_i}.npy")
+            gen_i += 1
 
 
 if __name__ == '__main__':

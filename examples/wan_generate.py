@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from chipmunk_tpu.config import load_config, ChipmunkConfig, config_from_dict
 from chipmunk_tpu.models.wan import WanModelConfig, WanModel, init_wan_params
-from chipmunk_tpu.models.video_sampling import wan_denoise_compiled
+from chipmunk_tpu.models.video_sampling import wan_denoise, wan_denoise_compiled
 from chipmunk_tpu.models.sampling import get_schedule
 
 
@@ -53,6 +53,13 @@ def main():
                     help='shrink dim/heads/ffn/txt for a CPU smoke run '
                          '(pipeline demo only; keeps head_dim=128)')
     ap.add_argument('--out', default='wan_latents.npy')
+    ap.add_argument('--mesh', default=None,
+                    help='multi-chip mesh, e.g. "sp=4": Ulysses '
+                         'head-parallel sparse attention over sp '
+                         '(reference head_parallel.py semantics; the '
+                         'reference\'s own Wan multi-GPU is dense xDiT '
+                         'USP which bypasses chipmunk).  num_heads must '
+                         'be divisible by sp.')
     ap.add_argument('--loop', default='host', choices=['host', 'compiled'],
                     help='host = one jitted program per step kind (default; '
                          'the single-dispatch scan crashed the TPU worker '
@@ -88,6 +95,18 @@ def main():
         latent_w=w // 8, num_layers=args.layers,
         dtype=jnp.bfloat16 if on_tpu else jnp.float32, **tiny)
     model = WanModel(cfg=cfg, ck=ck, use_kernels=on_tpu)
+    if args.mesh:
+        from hunyuan_generate import parse_mesh, build_mesh
+        axes = parse_mesh(args.mesh)
+        sp_n = axes.get('sp', 1)
+        if cfg.num_heads % sp_n:
+            raise SystemExit(f"num_heads={cfg.num_heads} not divisible "
+                             f"by sp={sp_n}")
+        mesh = build_mesh(axes)
+        model = model.sharded(mesh, sp='sp',
+                              dp='dp' if 'dp' in axes else None)
+        print(f"mesh {dict(mesh.shape)}: Ulysses head-parallel attention "
+              f"over sp={sp_n}, AttnState sharded per head shard")
 
     if args.ckpt:
         from chipmunk_tpu.models.loaders import load_wan_safetensors
@@ -115,10 +134,16 @@ def main():
     ts = get_schedule(args.steps, cfg.seq_len, shift=False)
 
     t0 = time.perf_counter()
+    # config-driven profiler gate (reference flux sampling.py:317:
+    # should_profile AND generation_index >= 3; one generation per
+    # process here, so the yml asks for a trace with both keys)
+    from chipmunk_tpu.utils.profiling import profile_region
     den = wan_denoise_compiled if args.loop == 'compiled' else wan_denoise
-    out = den(model, params, lat, ctx_c, ctx_u, ts,
-              guide_scale=args.guide_scale, key=ks[3])
-    jax.block_until_ready(out)
+    with profile_region('./profiles', enabled=ck.should_profile,
+                        warmup_done=ck.generation_index >= 3):
+        out = den(model, params, lat, ctx_c, ctx_u, ts,
+                  guide_scale=args.guide_scale, key=ks[3])
+        jax.block_until_ready(out)
     print(f"done in {time.perf_counter()-t0:.1f}s")
     import numpy as np
     if args.vae:

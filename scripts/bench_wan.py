@@ -53,6 +53,11 @@ def main():
                     help='comma list of inference steps to run as FULL '
                          'attention steps (overrides full_step_every; the '
                          'reference hunyuan yml ships {0,1,10,40})')
+    ap.add_argument('--recompute-mask', type=int, default=None,
+                    choices=[0, 1],
+                    help='override attn.recompute_mask (0 = freeze the '
+                         'mask after the step-1 selection; later full '
+                         'steps re-prime caches without a colsum pass)')
     ap.add_argument('--loop', default='host', choices=['host', 'compiled'],
                     help='compiled = single-dispatch lax.scan denoise '
                          'loop (wan_denoise_compiled): no per-step host '
@@ -77,6 +82,10 @@ def main():
         sched = frozenset(int(x) for x in args.full_schedule.split(','))
         sparse_ck = sparse_ck.replace(attn=dataclasses.replace(
             sparse_ck.attn, full_step_schedule=sched))
+    if args.recompute_mask is not None:
+        import dataclasses
+        sparse_ck = sparse_ck.replace(attn=dataclasses.replace(
+            sparse_ck.attn, recompute_mask=bool(args.recompute_mask)))
     dense_ck = config_from_dict({
         'steps': args.steps,
         'num_model_invocations_per_inference_step': 2,

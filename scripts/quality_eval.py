@@ -305,9 +305,10 @@ def run_hunyuan(args):
 
 def run_wan(args):
     """Wan2.1 operating point (configs/wan-chipmunk.yml: attention-only
-    top_keys=0.1, local_voxels=5, recompute_mask, CFG dual-invocation =
-    2 model invocations/step with separate cond/uncond cache states) at
-    reduced depth/grid; dense reference under the identical CFG loop."""
+    top_keys=0.1, local_voxels=3, full_step_schedule {0,1,10,40},
+    recompute_mask, CFG dual-invocation = 2 model invocations/step with
+    separate cond/uncond cache states) at reduced depth; dense reference
+    under the identical CFG loop."""
     from chipmunk_tpu.config import load_config
     from chipmunk_tpu.models.wan import (WanModelConfig, WanModel,
                                          init_wan_params)
@@ -344,26 +345,47 @@ def run_wan(args):
         'step_caching': {'is_enabled': False}})
     ref = denoise(dense_ck)
     ship = load_config('configs/wan-chipmunk.yml').replace(steps=args.steps)
+    # every row pins its FULL intent explicitly (ADVICE r4: rows that
+    # implicitly inherited the shipped yml drifted when the yml moved to
+    # lv3+fsched — labels no longer matched what ran).  Base = shipped
+    # yml (lv=3, full_step_schedule {0,1,10,40}, 25-step skip schedule).
     ablations = {
-        # at lv=5 the dense-fallback gate (0.45 < jmax frac 0.62) runs
-        # every attention layer exact-dense, so this row measures the
-        # step-caching schedule alone (the direct kernel that briefly
-        # changed this was measured a loss and deleted, docs/DESIGN.md)
-        'wan-shipped(lv5)': {},
-        'top_keys=0.05': {'attn': {'top_keys': 0.05}},
-        # smaller static cubes = lower selection density (lv3 0.109,
-        # lv2 0.096 static fraction at the real grid)
-        'local_voxels=3': {'attn': {'local_voxels': 3}},
-        'local_voxels=2': {'attn': {'local_voxels': 2}},
-        # candidate shipping point: csp engaged + the reference hunyuan
-        # yml's 4-step full schedule (fewer colsum+cache-prime steps,
-        # which cost ~2x dense per layer on TPU)
-        'lv3+fsched-0-1-10-40': {
-            'attn': {'local_voxels': 3,
+        # the shipped operating point as-is
+        'wan-shipped(lv3+fsched)': {},
+        # ISOLATION rows (VERDICT r4 weak #2: the published table's rows
+        # were identical because the step-caching deviation floor masks
+        # the csp contribution):
+        #  - csp alone, no step caching: the lv3 sparse-attention
+        #    deviation as its own recorded number
+        'csp-only(no-step-cache)': {'step_caching': {'is_enabled': False}},
+        #  - step caching alone, attention dense: the skip-schedule
+        #    deviation floor
+        'skip-only(attn-off)': {'attn': {'is_enabled': False}},
+        # knob sweeps around the shipped point (lv3+fsched base pinned)
+        'lv3+fsched+top_keys=0.05': {
+            'attn': {'local_voxels': 3, 'top_keys': 0.05,
                      'full_step_schedule': {0, 1, 10, 40}}},
+        'lv2+fsched': {
+            'attn': {'local_voxels': 2,
+                     'full_step_schedule': {0, 1, 10, 40}}},
+        # VERDICT r4 #6 lever: freeze the mask after the step-1 selection
+        # (reference FLUX runs fixed indices the whole run,
+        # modules/attn.py:140-150) — steps 10/40 become plain full steps
+        # (cache re-prime, no colsum pass)
+        'lv3+fsched+norecompute': {
+            'attn': {'local_voxels': 3, 'recompute_mask': False,
+                     'full_step_schedule': {0, 1, 10, 40}}},
+        # the PRE-r4 shipping point: lv=5 statically selects ~49% of KV
+        # blocks at the real grid, trips the dense-fallback cost gate
+        # (0.45), and runs every attention layer exact-dense — this row
+        # measures the step-caching schedule alone under the reference
+        # wan yml's full_step_every=10 (no explicit schedule)
+        'lv5(dense-gated)+fse10': {
+            'attn': {'local_voxels': 5, 'full_step_schedule': None,
+                     'full_step_every': 10}},
     }
     ablations = filter_only(ablations, args,
-                            aliases={'wan-shipped': 'wan-shipped(lv5)'})
+                            aliases={'wan-shipped': 'wan-shipped(lv3+fsched)'})
     print("name\tcosine\tpsnr_db\trel_l2", flush=True)
     for name, extra in ablations.items():
         ck = config_from_dict(extra, ship) if extra else ship

@@ -237,3 +237,104 @@ def test_sharded_sampler_matches_single_device():
     # differ -> compare loosely; the dense layers and full steps dominate
     np.testing.assert_allclose(np.asarray(out8), np.asarray(out1),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_hunyuan_sharded_denoise_matches_single_device():
+    """HunyuanModel.sharded(mesh, sp, dp): multi-chip video denoise ==
+    single-device (Ulysses head-parallel attention with head-sharded
+    AttnState — the reference's actual multi-GPU use case,
+    hyvideo/modules/head_parallel.py:42-115 + models.py:225-236)."""
+    from jax.sharding import Mesh
+    from chipmunk_tpu.config import config_from_dict
+    from chipmunk_tpu.models.hunyuan import (HunyuanModelConfig,
+                                             HunyuanModel,
+                                             init_hunyuan_params)
+    from chipmunk_tpu.models.video_sampling import hunyuan_denoise
+    from chipmunk_tpu.models.sampling import get_schedule
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 virtual devices")
+    cfg = HunyuanModelConfig(
+        latent_t=8, latent_h=8, latent_w=16, in_channels=4,
+        patch_size=(1, 2, 2), hidden_size=256, num_heads=4, mlp_ratio=4.0,
+        depth_double=2, depth_single=2, axes_dim=(16, 24, 24), theta=256,
+        text_dim=64, txt_len=128, vec_in_dim=32, guidance_embed=False,
+        voxel_shape=(4, 4, 8), dtype=jnp.float32)
+    ck = config_from_dict({
+        'steps': 4,
+        'attn': {'top_keys': 0.3, 'kv_block': 32, 'counts_multiple_of': 32,
+                 'random_keys': 0.0, 'local_voxels': 1,
+                 'first_n_dense_layers': 1,
+                 'full_step_schedule': [0, 1, 3],
+                 'should_compress_indices': True, 'recompute_mask': True},
+        'mlp': {'is_enabled': False},
+        'step_caching': {'is_enabled': False},
+    })
+    B = 2
+    params = init_hunyuan_params(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    lat = jax.random.normal(ks[0], (B, 4, 8, 8, 16), jnp.float32)
+    txt = jax.random.normal(ks[1], (B, 128, 64), jnp.float32)
+    y = jax.random.normal(ks[2], (B, 32), jnp.float32)
+    ts = get_schedule(4, cfg.img_len, shift=False)
+
+    m1 = HunyuanModel(cfg=cfg, ck=ck, use_kernels=False)
+    out1 = hunyuan_denoise(m1, params, lat, txt, y, ts,
+                           key=jax.random.PRNGKey(3))
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ('dp', 'sp'))
+    m8 = HunyuanModel(cfg=cfg, ck=ck, use_kernels=False
+                      ).sharded(mesh, sp='sp', dp='dp')
+    out8 = hunyuan_denoise(m8, params, lat, txt, y, ts,
+                           key=jax.random.PRNGKey(3))
+    # random_keys=0.0: top-k selection is deterministic, so the sharded
+    # run computes the same math per head shard -> near-exact match
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out1),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_wan_sharded_denoise_matches_single_device():
+    """WanModel.sharded(mesh, sp): CFG video denoise head-parallel over
+    4 devices == single-device (the reference's Wan multi-GPU is dense
+    xDiT USP which bypasses chipmunk; here the sparse path is
+    head-parallel)."""
+    from chipmunk_tpu.config import config_from_dict
+    from chipmunk_tpu.models.wan import (WanModelConfig, WanModel,
+                                         init_wan_params)
+    from chipmunk_tpu.models.video_sampling import wan_denoise
+    from chipmunk_tpu.models.sampling import get_schedule
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs 4 virtual devices")
+    cfg = WanModelConfig(
+        latent_t=4, latent_h=8, latent_w=16, in_channels=4,
+        patch_size=(1, 2, 2), dim=256, ffn_dim=512, num_heads=4,
+        num_layers=2, text_dim=64, txt_len=64, freq_dim=64,
+        axes_dim=(16, 24, 24), voxel_shape=(4, 4, 8), dtype=jnp.float32)
+    ck = config_from_dict({
+        'steps': 4,
+        'num_model_invocations_per_inference_step': 2,
+        'attn': {'top_keys': 0.3, 'kv_block': 32, 'counts_multiple_of': 32,
+                 'random_keys': 0.0, 'local_voxels': 1,
+                 'first_n_dense_layers': 1,
+                 'full_step_schedule': [0, 1, 3]},
+        'mlp': {'is_enabled': True, 'top_keys': 0.5, 'neuron_block': 32,
+                'counts_multiple_of': 32, 'first_n_dense_layers': 1,
+                'full_step_every': 3, 'random_keys': 0.0},
+        'step_caching': {'is_enabled': False},
+    })
+    params = init_wan_params(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    lat = jax.random.normal(ks[0], (1, 4, 4, 8, 16), jnp.float32)
+    ctx_c = jax.random.normal(ks[1], (1, 64, 64), jnp.float32)
+    ctx_u = jax.random.normal(ks[2], (1, 64, 64), jnp.float32)
+    ts = get_schedule(4, cfg.seq_len, shift=False)
+
+    m1 = WanModel(cfg=cfg, ck=ck, use_kernels=False)
+    out1 = wan_denoise(m1, params, lat, ctx_c, ctx_u, ts,
+                       key=jax.random.PRNGKey(3))
+    mesh = make_mesh({'sp': 4})
+    m4 = WanModel(cfg=cfg, ck=ck, use_kernels=False).sharded(mesh, sp='sp')
+    out4 = wan_denoise(m4, params, lat, ctx_c, ctx_u, ts,
+                       key=jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(out4), np.asarray(out1),
+                               atol=1e-3, rtol=1e-3)

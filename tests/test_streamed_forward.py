@@ -203,3 +203,51 @@ def test_create_hostwise_matches_create():
                                                            y.shape)
         np.testing.assert_array_equal(np.asarray(x, np.float32),
                                       np.asarray(y, np.float32))
+
+
+def test_hunyuan_streamed_honors_txt_mask():
+    """The streamed branch must thread txt_mask to the masked text
+    refiner exactly like the resident path (ADVICE r4 medium: it was
+    silently dropped).  With a real padding mask the masked and
+    unmasked refiners differ, so streamed-with-mask must match
+    resident-with-mask and NOT match resident-without-mask."""
+    from chipmunk_tpu.models.hunyuan import (HunyuanModelConfig,
+                                             HunyuanModel,
+                                             init_hunyuan_params)
+    from chipmunk_tpu.models.video_sampling import hunyuan_denoise
+    cfg = HunyuanModelConfig(
+        latent_t=8, latent_h=8, latent_w=16, in_channels=4,
+        patch_size=(1, 2, 2), hidden_size=128, num_heads=2, mlp_ratio=4.0,
+        depth_double=2, depth_single=2, axes_dim=(16, 24, 24), theta=256,
+        text_dim=64, txt_len=72, vec_in_dim=32, guidance_embed=False,
+        voxel_shape=(4, 4, 8), dtype=jnp.float32)
+    ck = config_from_dict({
+        'steps': 3,
+        'attn': {'top_keys': 0.3, 'kv_block': 32, 'counts_multiple_of': 32,
+                 'random_keys': 0.0, 'local_voxels': 1,
+                 'first_n_dense_layers': 1, 'full_step_schedule': [0, 1],
+                 'should_compress_indices': True, 'recompute_mask': True},
+        'mlp': {'is_enabled': False},
+        'step_caching': {'is_enabled': False},
+        'offloading': {'attn.out_cache': True, 'attn.indices': True},
+    })
+    m = HunyuanModel(cfg=cfg, ck=ck, use_kernels=False)
+    params = init_hunyuan_params(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    lat = jax.random.normal(ks[0], (1, 4, 8, 8, 16), jnp.float32)
+    txt = jax.random.normal(ks[1], (1, 72, 64), jnp.float32)
+    y = jax.random.normal(ks[2], (1, 32), jnp.float32)
+    mask = jnp.arange(72)[None, :] < 40           # realistic padded prompt
+    ts = jnp.linspace(1.0, 0.0, 4)
+    out_masked = hunyuan_denoise(m, params, lat, txt, y, ts,
+                                 key=jax.random.PRNGKey(5), txt_mask=mask)
+    out_unmasked = hunyuan_denoise(m, params, lat, txt, y, ts,
+                                   key=jax.random.PRNGKey(5))
+    streamed = m.make_streamed(n_chunks_double=2, n_chunks_single=2)
+    out_s = hunyuan_denoise(m, params, lat, txt, y, ts,
+                            key=jax.random.PRNGKey(5), streamed=streamed,
+                            txt_mask=mask)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_masked),
+                               atol=2e-4, rtol=2e-4)
+    assert np.abs(np.asarray(out_masked)
+                  - np.asarray(out_unmasked)).max() > 1e-4
