@@ -189,12 +189,16 @@ def _csp_vmem_kernel(inds_ref, counts_ref,        # SMEM
 def _csp_hbm_kernel(inds_ref, counts_ref,         # SMEM
                     *refs,
                     tau: float, kv_block: int, jmax: int, qg: int,
-                    n_groups: int, mask_kv: bool = False):
+                    n_groups: int, mask_kv: bool = False, nbuf: int = 2):
     """Video-scale path: q/K/V/o all stay in HBM; one program per (b,h)
-    loops over query groups with every transfer double-buffered — the q tile
-    and the gathered KV blocks for group g+1 stream in underneath group g's
-    matmuls, and o tiles stream out (the reference hides the same latencies
-    with warp-specialized producers + TMA, csp_attn.cu:228-300)."""
+    loops over query groups with every transfer multi-buffered — the q
+    tiles and gathered KV blocks for the next ``nbuf-1`` groups stream in
+    underneath group g's matmuls, and o tiles stream out (the reference
+    hides the same latencies with warp-specialized producers + TMA,
+    csp_attn.cu:228-300).  nbuf=3 keeps two groups of gathers in flight:
+    per-group DMA time ~= per-group MXU time at the 119k/5% point, so a
+    single-deep prefetch leaves the issue+wait scalar work exposed
+    (measured 6.1us/group vs the 2.8us transfer floor, r5)."""
     if mask_kv:
         (valid_ref, q_hbm, k_hbm, v_hbm, o_hbm,
          qg_ref, kg_ref, vg_ref, og_ref, qsem, ksem, vsem, osem) = refs
@@ -248,18 +252,19 @@ def _csp_hbm_kernel(inds_ref, counts_ref,         # SMEM
     # unwritten scratch rows must be finite (0 * NaN = NaN in the PV matmul)
     kg_ref[:] = jnp.zeros_like(kg_ref)
     vg_ref[:] = jnp.zeros_like(vg_ref)
-    start_group(0, 0)
+    for s0 in range(min(nbuf - 1, n_groups)):
+        start_group(s0, s0)
     if mask_kv:
         expand = _make_expand(kv_block, jmax)
         colrem = (jax.lax.broadcasted_iota(jnp.int32, (qg, JT), 1)
                   % kv_block).astype(jnp.float32)
 
     def body(g, _):
-        slot = jax.lax.rem(g, 2)
+        slot = jax.lax.rem(g, nbuf)
 
-        @pl.when(g + 1 < n_groups)
+        @pl.when(g + nbuf - 1 < n_groups)
         def _prefetch():
-            start_group(g + 1, 1 - slot)
+            start_group(g + nbuf - 1, jax.lax.rem(g + nbuf - 1, nbuf))
 
         wait_group(g, slot)
         count = counts_ref[0, 0, g]
@@ -279,13 +284,16 @@ def _csp_hbm_kernel(inds_ref, counts_ref,         # SMEM
                                 preferred_element_type=jnp.float32)
         l = jnp.where(l == 0.0, 1.0, l)
 
-        # wait for the o writeback that used this slot two groups ago
+        # o keeps its own 2-deep buffer regardless of the gather depth:
+        # wait for the writeback that used this o-slot two groups ago
+        oslot = jax.lax.rem(g, 2)
+
         @pl.when(g >= 2)
         def _():
-            o_dma(g - 2, slot).wait()
+            o_dma(g - 2, oslot).wait()
 
-        og_ref[slot] = (o / l).astype(og_ref.dtype)
-        o_dma(g, slot).start()
+        og_ref[oslot] = (o / l).astype(og_ref.dtype)
+        o_dma(g, oslot).start()
         return 0
 
     jax.lax.fori_loop(0, n_groups, body, 0)
@@ -298,12 +306,13 @@ def _csp_hbm_kernel(inds_ref, counts_ref,         # SMEM
 
 @functools.partial(jax.jit,
                    static_argnames=('qg', 'kv_block', 'interpret', 'mode',
-                                    'kv_valid'))
+                                    'kv_valid', 'nbuf'))
 def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
              block_inds: jnp.ndarray, block_counts: jnp.ndarray,
              qg: int = 128, kv_block: int = 128,
              mode: str = 'auto',
              kv_valid: int = None,
+             nbuf: int = 2,
              interpret: bool = False) -> jnp.ndarray:
     """Column-sparse attention.  Returns o [B,H,Sq,D] (q.dtype).
 
@@ -313,6 +322,9 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     >= kv_valid (model-level padding tail) are excluded from the softmax
     (the reference slices padded keys off before its kernels,
     hyvideo/modules/attenion.py:106-117).
+    nbuf: HBM-mode gather buffer depth (3 = two groups of gathers in
+    flight; measured r5 at 119k/4%: 21.6ms -> see results/
+    bench_csp_hbm_r5.log).
     """
     B, H, Sq, D = q.shape
     Sk = k.shape[-2]
@@ -377,8 +389,13 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             interpret=interpret,
         )(indsf, countsf, *extra_in, qf, kf, vf)
     else:
+        # clamp the gather depth so the multi-buffered scratch fits VMEM
+        while (nbuf > 2 and
+               2 * nbuf * jmax * kv_block * D * k.dtype.itemsize
+               > VMEM_LIMIT // 2):
+            nbuf -= 1
         o = pl.pallas_call(
-            functools.partial(_csp_hbm_kernel, **kw),
+            functools.partial(_csp_hbm_kernel, nbuf=nbuf, **kw),
             grid=(B * H,),
             in_specs=[
                 pl.BlockSpec((1, G, jmax), lambda b: (b, 0, 0),
@@ -393,13 +410,13 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((B * H, Sq, D), q.dtype),
             scratch_shapes=[
+                pltpu.VMEM((nbuf, qg, D), q.dtype),
+                pltpu.VMEM((nbuf, jmax * kv_block, D), k.dtype),
+                pltpu.VMEM((nbuf, jmax * kv_block, D), v.dtype),
                 pltpu.VMEM((2, qg, D), q.dtype),
-                pltpu.VMEM((2, jmax * kv_block, D), k.dtype),
-                pltpu.VMEM((2, jmax * kv_block, D), v.dtype),
-                pltpu.VMEM((2, qg, D), q.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),   # shared by jmax k-gathers
-                pltpu.SemaphoreType.DMA((2,)),   # shared by jmax v-gathers
+                pltpu.SemaphoreType.DMA((nbuf,)),
+                pltpu.SemaphoreType.DMA((nbuf,)),  # shared by jmax k-gathers
+                pltpu.SemaphoreType.DMA((nbuf,)),  # shared by jmax v-gathers
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             compiler_params=pltpu.CompilerParams(
