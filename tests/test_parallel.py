@@ -1,5 +1,6 @@
 """Multi-device (8 virtual CPU devices) tests for the Ulysses head-parallel
 path — the coverage the reference cannot have without GPUs (SURVEY.md §4)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -239,17 +240,20 @@ def test_sharded_sampler_matches_single_device():
                                atol=5e-2, rtol=5e-2)
 
 
-def test_hunyuan_sharded_denoise_matches_single_device():
+@pytest.mark.parametrize('loop', ['host', 'compiled'])
+def test_hunyuan_sharded_denoise_matches_single_device(loop):
     """HunyuanModel.sharded(mesh, sp, dp): multi-chip video denoise ==
     single-device (Ulysses head-parallel attention with head-sharded
     AttnState — the reference's actual multi-GPU use case,
-    hyvideo/modules/head_parallel.py:42-115 + models.py:225-236)."""
+    hyvideo/modules/head_parallel.py:42-115 + models.py:225-236) — for
+    both the host loop and the single-dispatch lax.scan loop."""
     from jax.sharding import Mesh
     from chipmunk_tpu.config import config_from_dict
     from chipmunk_tpu.models.hunyuan import (HunyuanModelConfig,
                                              HunyuanModel,
                                              init_hunyuan_params)
-    from chipmunk_tpu.models.video_sampling import hunyuan_denoise
+    from chipmunk_tpu.models.video_sampling import (hunyuan_denoise,
+                                                    hunyuan_denoise_compiled)
     from chipmunk_tpu.models.sampling import get_schedule
     if len(jax.devices()) < 8:
         import pytest
@@ -284,8 +288,8 @@ def test_hunyuan_sharded_denoise_matches_single_device():
     mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ('dp', 'sp'))
     m8 = HunyuanModel(cfg=cfg, ck=ck, use_kernels=False
                       ).sharded(mesh, sp='sp', dp='dp')
-    out8 = hunyuan_denoise(m8, params, lat, txt, y, ts,
-                           key=jax.random.PRNGKey(3))
+    den = hunyuan_denoise if loop == 'host' else hunyuan_denoise_compiled
+    out8 = den(m8, params, lat, txt, y, ts, key=jax.random.PRNGKey(3))
     # random_keys=0.0: top-k selection is deterministic, so the sharded
     # run computes the same math per head shard -> near-exact match
     np.testing.assert_allclose(np.asarray(out8), np.asarray(out1),
