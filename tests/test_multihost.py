@@ -75,3 +75,83 @@ def test_two_process_psum(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, (i, out[-3000:])
         assert f"proc {i} ok" in out, (i, out[-3000:])
+
+
+ULYSSES_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    sys.path.insert(0, %(repo)r)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from chipmunk_tpu.parallel.comm import (initialize_multihost, make_mesh,
+                                            ulysses_attention)
+    from chipmunk_tpu.ops.attn_ref import dense_attn_ref
+
+    pid = initialize_multihost(coordinator_address=sys.argv[1],
+                               num_processes=2,
+                               process_id=int(sys.argv[2]))
+    mesh = make_mesh({"sp": 4})
+    B, H, S, D = 1, 4, 64, 16
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    qg, kg, vg = (jax.random.normal(k, (B, H, S, D), jnp.float32)
+                  for k in ks)
+    ref, _ = dense_attn_ref(qg, kg, vg)
+
+    def attn(q, k, v, state):
+        o, _ = dense_attn_ref(q, k, v)
+        return o, state
+
+    sh = NamedSharding(mesh, P(None, None, "sp", None))
+    # each process contributes only its addressable sequence shards
+    def local(x):
+        arr = np.asarray(x)
+        rows = [arr[:, :, i * (S // 4):(i + 1) * (S // 4)]
+                for i in range(4)]
+        mine = np.concatenate(rows[pid * 2:(pid + 1) * 2], axis=2)
+        return jax.make_array_from_process_local_data(sh, mine, x.shape)
+
+    q, k, v = local(qg), local(kg), local(vg)
+    with mesh:
+        o, _ = ulysses_attention(mesh, "sp", attn, q, k, v, ())
+    # check this process's local output shards against the reference
+    for s in o.addressable_shards:
+        i0 = s.index[2].start or 0
+        np.testing.assert_allclose(np.asarray(s.data),
+                                   np.asarray(ref[:, :, i0:i0 + S // 4]),
+                                   atol=1e-5, rtol=1e-5)
+    print(f"proc {pid} ulysses ok", flush=True)
+""")
+
+
+def test_two_process_ulysses_attention(tmp_path):
+    """The Ulysses a2a attention itself across two OS processes — the
+    cross-DCN analogue of the reference's torchrun head-parallel launch
+    (head_parallel.py all_to_all_single over NCCL): sequence shards
+    live in different processes; the a2a crosses the process boundary."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    script = tmp_path / "worker_ulysses.py"
+    script.write_text(ULYSSES_WORKER % {"repo": REPO})
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [subprocess.Popen([sys.executable, str(script), coord, str(i)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True, env=env)
+             for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:
+            p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, (i, out[-3000:])
+        assert f"proc {i} ulysses ok" in out, (i, out[-3000:])
