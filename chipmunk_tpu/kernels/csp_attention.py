@@ -186,6 +186,120 @@ def _csp_vmem_kernel(inds_ref, counts_ref,        # SMEM
 
 # ----------------------------------------------------------------- HBM mode
 
+def _csp_hbm_packed_kernel(inds_ref, counts_ref,         # SMEM
+                           *refs,
+                           tau: float, kv_block: int, jmax: int, qg: int,
+                           n_groups: int, mask_kv: bool = False,
+                           nbuf: int = 2):
+    """Packed-KV HBM mode: K and V rows of each kv_block are stored
+    adjacently in one [nb, 2*kv_block, D] tensor, so gathering a selected
+    block is ONE async copy instead of two.  The r5 nbuf sweep showed the
+    HBM mode is limited by the serial scalar DMA issue+wait work
+    (6.1us/group for 2*jmax copies vs the 2.8us transfer floor; deeper
+    pipelining bought nothing and only 6.6% of selected blocks are
+    adjacent, so coalescing can't merge copies either —
+    results/bench_csp_hbm_nbuf.log).  Halving the copy count attacks the
+    actual limiter.  The reference's analogue is its fused K+V TMA
+    producer loop (csp_attn.cu:135-159)."""
+    if mask_kv:
+        (valid_ref, q_hbm, kv_hbm, o_hbm,
+         qg_ref, kvg_ref, og_ref, qsem, kvsem, osem) = refs
+    else:
+        valid_ref = None
+        (q_hbm, kv_hbm, o_hbm,
+         qg_ref, kvg_ref, og_ref, qsem, kvsem, osem) = refs
+    b = pl.program_id(0)
+    JT = jmax * kv_block
+
+    def q_dma(g, slot):
+        return pltpu.make_async_copy(
+            q_hbm.at[b, pl.ds(g * qg, qg), :], qg_ref.at[slot],
+            qsem.at[slot])
+
+    def o_dma(g, slot):
+        return pltpu.make_async_copy(
+            og_ref.at[slot], o_hbm.at[b, pl.ds(g * qg, qg), :],
+            osem.at[slot])
+
+    def kv_dmas(g, slot):
+        count = counts_ref[0, 0, g]
+        for t in range(jmax):
+            idx = inds_ref[0, g, t]
+            yield (t < count,
+                   pltpu.make_async_copy(kv_hbm.at[b, idx],
+                                         kvg_ref.at[slot, t],
+                                         kvsem.at[slot]))
+
+    def start_group(g, slot):
+        q_dma(g, slot).start()
+        for live, kvd in kv_dmas(g, slot):
+            @pl.when(live)
+            def _():
+                kvd.start()
+
+    def wait_group(g, slot):
+        q_dma(g, slot).wait()
+        for live, kvd in kv_dmas(g, slot):
+            @pl.when(live)
+            def _():
+                kvd.wait()
+
+    # unwritten scratch rows must be finite (0 * NaN = NaN in the PV matmul)
+    kvg_ref[:] = jnp.zeros_like(kvg_ref)
+    for s0 in range(min(nbuf - 1, n_groups)):
+        start_group(s0, s0)
+    if mask_kv:
+        expand = _make_expand(kv_block, jmax)
+        colrem = (jax.lax.broadcasted_iota(jnp.int32, (qg, JT), 1)
+                  % kv_block).astype(jnp.float32)
+
+    def body(g, _):
+        slot = jax.lax.rem(g, nbuf)
+
+        @pl.when(g + nbuf - 1 < n_groups)
+        def _prefetch():
+            start_group(g + nbuf - 1, jax.lax.rem(g + nbuf - 1, nbuf))
+
+        wait_group(g, slot)
+        count = counts_ref[0, 0, g]
+        kv = kvg_ref[slot]                       # [jmax, 2*kv_block, D]
+        kg = kv[:, :kv_block, :].reshape(JT, -1)
+        vg = kv[:, kv_block:, :].reshape(JT, -1)
+        s = jax.lax.dot_general(qg_ref[slot], kg,
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * tau
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col // kv_block < count, s, NEG_INF)
+        if mask_kv:
+            s = _partial_block_mask(s, valid_ref, g, expand, colrem,
+                                    kv_block)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(vg.dtype), vg,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        l = jnp.where(l == 0.0, 1.0, l)
+
+        # o keeps its own 2-deep buffer regardless of the gather depth
+        oslot = jax.lax.rem(g, 2)
+
+        @pl.when(g >= 2)
+        def _():
+            o_dma(g - 2, oslot).wait()
+
+        og_ref[oslot] = (o / l).astype(og_ref.dtype)
+        o_dma(g, oslot).start()
+        return 0
+
+    jax.lax.fori_loop(0, n_groups, body, 0)
+
+    @pl.when(n_groups >= 2)
+    def _():
+        o_dma(n_groups - 2, jax.lax.rem(n_groups - 2, 2)).wait()
+    o_dma(n_groups - 1, jax.lax.rem(n_groups - 1, 2)).wait()
+
+
 def _csp_hbm_kernel(inds_ref, counts_ref,         # SMEM
                     *refs,
                     tau: float, kv_block: int, jmax: int, qg: int,
@@ -306,13 +420,14 @@ def _csp_hbm_kernel(inds_ref, counts_ref,         # SMEM
 
 @functools.partial(jax.jit,
                    static_argnames=('qg', 'kv_block', 'interpret', 'mode',
-                                    'kv_valid', 'nbuf'))
+                                    'kv_valid', 'nbuf', 'pack_kv'))
 def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
              block_inds: jnp.ndarray, block_counts: jnp.ndarray,
              qg: int = 128, kv_block: int = 128,
              mode: str = 'auto',
              kv_valid: int = None,
              nbuf: int = 2,
+             pack_kv: bool = True,
              interpret: bool = False) -> jnp.ndarray:
     """Column-sparse attention.  Returns o [B,H,Sq,D] (q.dtype).
 
@@ -388,6 +503,47 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                 vmem_limit_bytes=VMEM_LIMIT),
             interpret=interpret,
         )(indsf, countsf, *extra_in, qf, kf, vf)
+    elif pack_kv:
+        # pack K and V rows of each kv_block adjacently so one DMA
+        # gathers both (halves the scalar issue+wait work that limits
+        # this mode — results/bench_csp_hbm_nbuf.log); the pack itself
+        # is one fused XLA copy (~2x KV bytes, ~3% of the gather bytes
+        # at the 119k/5% point)
+        nb = Sk // kv_block
+        kvf = jnp.concatenate(
+            [kf.reshape(B * H, nb, kv_block, D),
+             vf.reshape(B * H, nb, kv_block, D)], axis=2)
+        # clamp the gather depth so the multi-buffered scratch fits VMEM
+        while (nbuf > 2 and
+               2 * nbuf * jmax * kv_block * D * k.dtype.itemsize
+               > VMEM_LIMIT // 2):
+            nbuf -= 1
+        o = pl.pallas_call(
+            functools.partial(_csp_hbm_packed_kernel, nbuf=nbuf, **kw),
+            grid=(B * H,),
+            in_specs=[
+                pl.BlockSpec((1, G, jmax), lambda b: (b, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, G), lambda b: (b, 0, 0),
+                             memory_space=pltpu.SMEM),
+                *extra_specs,
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((B * H, Sq, D), q.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((nbuf, qg, D), q.dtype),
+                pltpu.VMEM((nbuf, jmax, 2 * kv_block, D), k.dtype),
+                pltpu.VMEM((2, qg, D), q.dtype),
+                pltpu.SemaphoreType.DMA((nbuf,)),
+                pltpu.SemaphoreType.DMA((nbuf,)),  # shared by jmax gathers
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True, vmem_limit_bytes=VMEM_LIMIT),
+            interpret=interpret,
+        )(indsf, countsf, *extra_in, qf, kvf)
     else:
         # clamp the gather depth so the multi-buffered scratch fits VMEM
         while (nbuf > 2 and

@@ -92,6 +92,12 @@ def main():
     ap.add_argument('--granules', default='128,256,512')
     ap.add_argument('--nbufs', default='2,3,4',
                     help='gather pipeline depths to sweep (HBM mode)')
+    ap.add_argument('--packs', default='1,0',
+                    help='pack_kv values to sweep (1=packed KV, 0=split)')
+    ap.add_argument('--skip-dense', action='store_true',
+                    help='reuse a known dense time instead of re-measuring')
+    ap.add_argument('--dense-ms', type=float, default=170.26,
+                    help='dense time (ms) to use with --skip-dense')
     args = ap.parse_args()
     B, H, D = 1, args.heads, 128
     t, h, w = args.grid
@@ -101,12 +107,17 @@ def main():
     q, k, v = (jax.random.normal(kk, (B, H, S, D), jnp.bfloat16)
                for kk in ks)
 
-    t_dense = bench_loop(
-        lambda x: dense_attn(x, k, v)[0].astype(jnp.bfloat16), q,
-        iters=args.iters)
-    fl = 4 * H * S * S * D
-    print(f"dense H={H} S={S}: {t_dense*1000:.2f} ms "
-          f"({fl/t_dense/1e12:.0f} TF/s)", flush=True)
+    if args.skip_dense:
+        t_dense = args.dense_ms / 1000.0
+        print(f"dense H={H} S={S}: {t_dense*1000:.2f} ms (reused)",
+              flush=True)
+    else:
+        t_dense = bench_loop(
+            lambda x: dense_attn(x, k, v)[0].astype(jnp.bfloat16), q,
+            iters=args.iters)
+        fl = 4 * H * S * S * D
+        print(f"dense H={H} S={S}: {t_dense*1000:.2f} ms "
+              f"({fl/t_dense/1e12:.0f} TF/s)", flush=True)
 
     rng = np.random.default_rng(1)
     union = build_selection(B, H, S, (t, h, w), args.txt_len, args.lv,
@@ -114,22 +125,28 @@ def main():
     print(f"density={union.mean():.4f} "
           f"contiguous-successor frac={contiguity(union):.3f}", flush=True)
 
+    packs = [p == '1' for p in args.packs.split(',')]
     for gran in (int(x) for x in args.granules.split(',')):
         inds, counts, jmax, d_eff = to_inds(union, gran)
         csp_mod.MAX_KV_BLOCK = max(csp_mod.MAX_KV_BLOCK, gran)
         for nbuf in (int(x) for x in args.nbufs.split(',')):
-            tt = bench_loop(
-                lambda x, inds=inds, counts=counts, gran=gran, nbuf=nbuf:
-                csp_mod.csp_attn(
-                    x, k, v, inds, counts, qg=128, kv_block=gran,
-                    mode='hbm', nbuf=nbuf).astype(jnp.bfloat16),
-                q, iters=args.iters)
-            gb = (float(np.asarray(counts, np.float64).sum())
-                  * 2 * gran * D * 2) / 1e9
-            print(f"csp[hbm] gran={gran} nbuf={nbuf} jmax={jmax}/{S//gran} "
-                  f"d={d_eff:.3f}: {tt*1000:.2f} ms ({t_dense/tt:.2f}x vs "
-                  f"dense; gather {gb:.2f} GB -> {gb/tt:.0f} GB/s)",
-                  flush=True)
+            for pack in packs:
+                tt = bench_loop(
+                    lambda x, inds=inds, counts=counts, gran=gran,
+                    nbuf=nbuf, pack=pack:
+                    csp_mod.csp_attn(
+                        x, k, v, inds, counts, qg=128, kv_block=gran,
+                        mode='hbm', nbuf=nbuf,
+                        pack_kv=pack).astype(jnp.bfloat16),
+                    q, iters=args.iters)
+                gb = (float(np.asarray(counts, np.float64).sum())
+                      * 2 * gran * D * 2) / 1e9
+                print(f"csp[hbm] gran={gran} nbuf={nbuf} "
+                      f"pack={int(pack)} jmax={jmax}/{S//gran} "
+                      f"d={d_eff:.3f}: {tt*1000:.2f} ms "
+                      f"({t_dense/tt:.2f}x vs dense; "
+                      f"gather {gb:.2f} GB -> {gb/tt:.0f} GB/s)",
+                      flush=True)
 
 
 if __name__ == '__main__':
