@@ -230,6 +230,13 @@ def _csp_hbm_packed_kernel(inds_ref, counts_ref,         # SMEM
                                          kvg_ref.at[slot, t],
                                          kvsem.at[slot]))
 
+    # NOTE (r5 negative result): a dynamic-trip-count fori_loop over
+    # [0, count) — fewer iterations (avg 36 live vs jmax 60) and no
+    # per-copy compare+branch — measured SLOWER than this fully
+    # unrolled static loop: 18.77 ms vs 17.96 ms at the 119k/5% point
+    # (results/bench_csp_hbm_dynloop.log).  Mosaic's dynamic scf.for
+    # per-iteration overhead exceeds the dead iterations' predicated
+    # no-ops; keep the unrolled form.
     def start_group(g, slot):
         q_dma(g, slot).start()
         for live, kvd in kv_dmas(g, slot):
