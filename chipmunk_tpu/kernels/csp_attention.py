@@ -18,10 +18,14 @@ producer/consumer + per-row cp.async gather, csp_attn.cu:135-191):
     bandwidth-bound (every group re-reads its own ~15% of KV) never touches
     HBM: total HBM traffic equals dense attention's single K/V read while
     FLOPs drop by the sparsity factor.
-  * **HBM-gather** (video-scale sequences): K/V stay in HBM; gathered
-    tiles are DMA'd into double-buffered VMEM scratch with the per-group
-    index row staged in SMEM — the analogue of the reference's
-    TMA-prefetched index pipeline (csp_attn.cu:228-243).
+  * **HBM-gather** (video-scale sequences): K and V rows of each block
+    are packed adjacently in one [nb, 2*kv_block, D] tensor (one fused
+    XLA concat) so every selected block is a SINGLE async copy into
+    multi-buffered VMEM scratch, with the per-group index row staged in
+    SMEM — the analogue of the reference's TMA-prefetched index pipeline
+    (csp_attn.cu:228-243).  The mode is scalar DMA issue/wait-bound, so
+    copy count, not bytes, is the knob that matters (9.48x vs dense at
+    the 119k/5% point, results/bench_csp_hbm_pack.log).
 
 Indices are block-granular (``kv_block`` tokens per index, config
 attn.kv_block): selection granule = gather granule.  Variable per-group
@@ -307,134 +311,15 @@ def _csp_hbm_packed_kernel(inds_ref, counts_ref,         # SMEM
     o_dma(n_groups - 1, jax.lax.rem(n_groups - 1, 2)).wait()
 
 
-def _csp_hbm_kernel(inds_ref, counts_ref,         # SMEM
-                    *refs,
-                    tau: float, kv_block: int, jmax: int, qg: int,
-                    n_groups: int, mask_kv: bool = False, nbuf: int = 2):
-    """Video-scale path: q/K/V/o all stay in HBM; one program per (b,h)
-    loops over query groups with every transfer multi-buffered — the q
-    tiles and gathered KV blocks for the next ``nbuf-1`` groups stream in
-    underneath group g's matmuls, and o tiles stream out (the reference
-    hides the same latencies with warp-specialized producers + TMA,
-    csp_attn.cu:228-300).  nbuf=3 keeps two groups of gathers in flight:
-    per-group DMA time ~= per-group MXU time at the 119k/5% point, so a
-    single-deep prefetch leaves the issue+wait scalar work exposed
-    (measured 6.1us/group vs the 2.8us transfer floor, r5)."""
-    if mask_kv:
-        (valid_ref, q_hbm, k_hbm, v_hbm, o_hbm,
-         qg_ref, kg_ref, vg_ref, og_ref, qsem, ksem, vsem, osem) = refs
-    else:
-        valid_ref = None
-        (q_hbm, k_hbm, v_hbm, o_hbm,
-         qg_ref, kg_ref, vg_ref, og_ref, qsem, ksem, vsem, osem) = refs
-    b = pl.program_id(0)
-    JT = jmax * kv_block
-
-    def q_dma(g, slot):
-        return pltpu.make_async_copy(
-            q_hbm.at[b, pl.ds(g * qg, qg), :], qg_ref.at[slot],
-            qsem.at[slot])
-
-    def o_dma(g, slot):
-        return pltpu.make_async_copy(
-            og_ref.at[slot], o_hbm.at[b, pl.ds(g * qg, qg), :],
-            osem.at[slot])
-
-    def kv_dmas(g, slot):
-        count = counts_ref[0, 0, g]
-        for t in range(jmax):
-            idx = inds_ref[0, g, t]
-            srcs = pl.ds(idx * kv_block, kv_block)
-            dsts = pl.ds(t * kv_block, kv_block)
-            yield (t < count,
-                   pltpu.make_async_copy(k_hbm.at[b, srcs, :],
-                                         kg_ref.at[slot, dsts, :],
-                                         ksem.at[slot]),
-                   pltpu.make_async_copy(v_hbm.at[b, srcs, :],
-                                         vg_ref.at[slot, dsts, :],
-                                         vsem.at[slot]))
-
-    def start_group(g, slot):
-        q_dma(g, slot).start()
-        for live, kd, vd in kv_dmas(g, slot):
-            @pl.when(live)
-            def _():
-                kd.start()
-                vd.start()
-
-    def wait_group(g, slot):
-        q_dma(g, slot).wait()
-        for live, kd, vd in kv_dmas(g, slot):
-            @pl.when(live)
-            def _():
-                kd.wait()
-                vd.wait()
-
-    # unwritten scratch rows must be finite (0 * NaN = NaN in the PV matmul)
-    kg_ref[:] = jnp.zeros_like(kg_ref)
-    vg_ref[:] = jnp.zeros_like(vg_ref)
-    for s0 in range(min(nbuf - 1, n_groups)):
-        start_group(s0, s0)
-    if mask_kv:
-        expand = _make_expand(kv_block, jmax)
-        colrem = (jax.lax.broadcasted_iota(jnp.int32, (qg, JT), 1)
-                  % kv_block).astype(jnp.float32)
-
-    def body(g, _):
-        slot = jax.lax.rem(g, nbuf)
-
-        @pl.when(g + nbuf - 1 < n_groups)
-        def _prefetch():
-            start_group(g + nbuf - 1, jax.lax.rem(g + nbuf - 1, nbuf))
-
-        wait_group(g, slot)
-        count = counts_ref[0, 0, g]
-        s = jax.lax.dot_general(qg_ref[slot], kg_ref[slot],
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * tau
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col // kv_block < count, s, NEG_INF)
-        if mask_kv:
-            s = _partial_block_mask(s, valid_ref, g, expand, colrem,
-                                    kv_block)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp2(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(p.astype(vg_ref.dtype), vg_ref[slot],
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        l = jnp.where(l == 0.0, 1.0, l)
-
-        # o keeps its own 2-deep buffer regardless of the gather depth:
-        # wait for the writeback that used this o-slot two groups ago
-        oslot = jax.lax.rem(g, 2)
-
-        @pl.when(g >= 2)
-        def _():
-            o_dma(g - 2, oslot).wait()
-
-        og_ref[oslot] = (o / l).astype(og_ref.dtype)
-        o_dma(g, oslot).start()
-        return 0
-
-    jax.lax.fori_loop(0, n_groups, body, 0)
-
-    @pl.when(n_groups >= 2)
-    def _():
-        o_dma(n_groups - 2, jax.lax.rem(n_groups - 2, 2)).wait()
-    o_dma(n_groups - 1, jax.lax.rem(n_groups - 1, 2)).wait()
-
-
 @functools.partial(jax.jit,
                    static_argnames=('qg', 'kv_block', 'interpret', 'mode',
-                                    'kv_valid', 'nbuf', 'pack_kv'))
+                                    'kv_valid', 'nbuf'))
 def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
              block_inds: jnp.ndarray, block_counts: jnp.ndarray,
              qg: int = 128, kv_block: int = 128,
              mode: str = 'auto',
              kv_valid: int = None,
              nbuf: int = 2,
-             pack_kv: bool = True,
              interpret: bool = False) -> jnp.ndarray:
     """Column-sparse attention.  Returns o [B,H,Sq,D] (q.dtype).
 
@@ -444,9 +329,15 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     >= kv_valid (model-level padding tail) are excluded from the softmax
     (the reference slices padded keys off before its kernels,
     hyvideo/modules/attenion.py:106-117).
-    nbuf: HBM-mode gather buffer depth (3 = two groups of gathers in
-    flight; measured r5 at 119k/4%: 21.6ms -> see results/
-    bench_csp_hbm_r5.log).
+    nbuf: HBM-mode gather buffer depth (2 = one group of gathers in
+    flight; 3 measured within noise of 2 once the gather was packed —
+    results/bench_csp_hbm_pack.log).
+
+    A split-KV HBM kernel (separate K and V gather copies, 21.53 ms vs
+    packed 17.96 ms at 119k/4%) was the r1-r4 implementation and was
+    DELETED after the packed-KV form won on-chip (the mode is scalar
+    issue/wait-bound; halving copies is the whole win — see
+    docs/DESIGN.md gather-regime notes and results/bench_csp_hbm_*.log).
     """
     B, H, Sq, D = q.shape
     Sk = k.shape[-2]
@@ -510,7 +401,7 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                 vmem_limit_bytes=VMEM_LIMIT),
             interpret=interpret,
         )(indsf, countsf, *extra_in, qf, kf, vf)
-    elif pack_kv:
+    else:
         # pack K and V rows of each kv_block adjacently so one DMA
         # gathers both (halves the scalar issue+wait work that limits
         # this mode — results/bench_csp_hbm_nbuf.log); the pack itself
@@ -551,39 +442,4 @@ def csp_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                 has_side_effects=True, vmem_limit_bytes=VMEM_LIMIT),
             interpret=interpret,
         )(indsf, countsf, *extra_in, qf, kvf)
-    else:
-        # clamp the gather depth so the multi-buffered scratch fits VMEM
-        while (nbuf > 2 and
-               2 * nbuf * jmax * kv_block * D * k.dtype.itemsize
-               > VMEM_LIMIT // 2):
-            nbuf -= 1
-        o = pl.pallas_call(
-            functools.partial(_csp_hbm_kernel, nbuf=nbuf, **kw),
-            grid=(B * H,),
-            in_specs=[
-                pl.BlockSpec((1, G, jmax), lambda b: (b, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, G), lambda b: (b, 0, 0),
-                             memory_space=pltpu.SMEM),
-                *extra_specs,
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            out_shape=jax.ShapeDtypeStruct((B * H, Sq, D), q.dtype),
-            scratch_shapes=[
-                pltpu.VMEM((nbuf, qg, D), q.dtype),
-                pltpu.VMEM((nbuf, jmax * kv_block, D), k.dtype),
-                pltpu.VMEM((nbuf, jmax * kv_block, D), v.dtype),
-                pltpu.VMEM((2, qg, D), q.dtype),
-                pltpu.SemaphoreType.DMA((nbuf,)),
-                pltpu.SemaphoreType.DMA((nbuf,)),  # shared by jmax k-gathers
-                pltpu.SemaphoreType.DMA((nbuf,)),  # shared by jmax v-gathers
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                has_side_effects=True, vmem_limit_bytes=VMEM_LIMIT),
-            interpret=interpret,
-        )(indsf, countsf, *extra_in, qf, kf, vf)
     return o.reshape(B, H, Sq, D)

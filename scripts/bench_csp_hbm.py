@@ -92,8 +92,6 @@ def main():
     ap.add_argument('--granules', default='128,256,512')
     ap.add_argument('--nbufs', default='2,3,4',
                     help='gather pipeline depths to sweep (HBM mode)')
-    ap.add_argument('--packs', default='1,0',
-                    help='pack_kv values to sweep (1=packed KV, 0=split)')
     ap.add_argument('--skip-dense', action='store_true',
                     help='reuse a known dense time instead of re-measuring')
     ap.add_argument('--dense-ms', type=float, default=170.26,
@@ -125,28 +123,22 @@ def main():
     print(f"density={union.mean():.4f} "
           f"contiguous-successor frac={contiguity(union):.3f}", flush=True)
 
-    packs = [p == '1' for p in args.packs.split(',')]
     for gran in (int(x) for x in args.granules.split(',')):
         inds, counts, jmax, d_eff = to_inds(union, gran)
         csp_mod.MAX_KV_BLOCK = max(csp_mod.MAX_KV_BLOCK, gran)
         for nbuf in (int(x) for x in args.nbufs.split(',')):
-            for pack in packs:
-                tt = bench_loop(
-                    lambda x, inds=inds, counts=counts, gran=gran,
-                    nbuf=nbuf, pack=pack:
-                    csp_mod.csp_attn(
-                        x, k, v, inds, counts, qg=128, kv_block=gran,
-                        mode='hbm', nbuf=nbuf,
-                        pack_kv=pack).astype(jnp.bfloat16),
-                    q, iters=args.iters)
-                gb = (float(np.asarray(counts, np.float64).sum())
-                      * 2 * gran * D * 2) / 1e9
-                print(f"csp[hbm] gran={gran} nbuf={nbuf} "
-                      f"pack={int(pack)} jmax={jmax}/{S//gran} "
-                      f"d={d_eff:.3f}: {tt*1000:.2f} ms "
-                      f"({t_dense/tt:.2f}x vs dense; "
-                      f"gather {gb:.2f} GB -> {gb/tt:.0f} GB/s)",
-                      flush=True)
+            tt = bench_loop(
+                lambda x, inds=inds, counts=counts, gran=gran, nbuf=nbuf:
+                csp_mod.csp_attn(
+                    x, k, v, inds, counts, qg=128, kv_block=gran,
+                    mode='hbm', nbuf=nbuf).astype(jnp.bfloat16),
+                q, iters=args.iters)
+            gb = (float(np.asarray(counts, np.float64).sum())
+                  * 2 * gran * D * 2) / 1e9
+            print(f"csp[hbm] gran={gran} nbuf={nbuf} jmax={jmax}/{S//gran} "
+                  f"d={d_eff:.3f}: {tt*1000:.2f} ms ({t_dense/tt:.2f}x vs "
+                  f"dense; gather {gb:.2f} GB -> {gb/tt:.0f} GB/s)",
+                  flush=True)
 
 
 if __name__ == '__main__':
