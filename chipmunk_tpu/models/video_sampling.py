@@ -155,19 +155,40 @@ def wan_denoise(model, params: Dict, latents: jnp.ndarray,
     return latents
 
 
+def _chunk_slices(n: int, chunk: Optional[int]):
+    """(start, length) dispatch windows over n computed steps.  chunk=None
+    (or >= n) is the single-dispatch case; otherwise equal windows of
+    ``chunk`` steps plus one remainder window (at most two distinct
+    lengths, so at most two compiled runners)."""
+    if not chunk or chunk >= n:
+        return [(0, n)]
+    out = [(s, min(chunk, n - s)) for s in range(0, n, chunk)]
+    return out
+
+
 def hunyuan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
                              txt: jnp.ndarray, y: jnp.ndarray,
                              timesteps: jnp.ndarray,
                              guidance: float = 6.0,
                              key: Optional[jax.Array] = None,
-                             txt_mask: Optional[jnp.ndarray] = None
+                             txt_mask: Optional[jnp.ndarray] = None,
+                             chunk: Optional[int] = None
                              ) -> jnp.ndarray:
-    """The whole video denoise loop as ONE jitted lax.scan (same shape as
-    FluxSampler.denoise_compiled).  Skipped steps are folded into the
-    preceding computed step's Euler window (schedule.fold_skip_steps) so
-    no pass-through branch forces XLA to copy the cache-state carry.  The
-    jitted runner is cached per (model, schedule, shape); all arrays are
-    threaded as arguments."""
+    """The whole video denoise loop as jitted lax.scan dispatches (same
+    shape as FluxSampler.denoise_compiled).  Skipped steps are folded into
+    the preceding computed step's Euler window (schedule.fold_skip_steps)
+    so no pass-through branch forces XLA to copy the cache-state carry.
+
+    chunk: computed steps per dispatch.  None = the whole loop as ONE
+    program (the production shape).  A small chunk keeps each dispatch
+    under environments that bound single-program execution time (the
+    axon dev tunnel's TPU worker dies on ~minute-plus dispatches,
+    results/bench_wan_compiled_*.log) while still amortizing the
+    per-step host dispatch residual ~chunk-fold; the carry (latents +
+    cache states) threads between dispatches, so the math is identical
+    at every chunk size.  One compiled program serves all equal-length
+    chunks: the step-kind sequence is scan DATA (lax.switch over a small
+    static branch set), not a static attribute of the program."""
     key = key if key is not None else jax.random.PRNGKey(0)
     B = latents.shape[0]
     plan = step_plan(model.ck)
@@ -190,59 +211,69 @@ def hunyuan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
     xs = (jnp.asarray(idxs, jnp.int32), kinds, jnp.stack(t_c),
           jnp.stack(t_e))
 
-    cache_key = ('hunyuan', _model_token(model), n, tuple(idxs),
-                 latents.shape, str(latents.dtype),
-                 tuple(kind_ix), g is None, txt_mask is None)
-    if cache_key not in _JIT_CACHE:
-        def run(params, lat, state0, xs, txt, y, pe, g, key, txt_mask):
-            def model_branch(s):
-                step = FluxStep(index=s[0], full_attn=s[1], full_mlp=s[2],
-                                colsum=s[3], recompute_mlp_mask=s[4])
+    def get_runner(length: int):
+        cache_key = ('hunyuan', _model_token(model), length, tuple(uniq),
+                     latents.shape, str(latents.dtype),
+                     g is None, txt_mask is None)
+        if cache_key not in _JIT_CACHE:
+            def run(params, lat, state0, xs, txt, y, pe, g, key, txt_mask):
+                def model_branch(s):
+                    step = FluxStep(index=s[0], full_attn=s[1],
+                                    full_mlp=s[2], colsum=s[3],
+                                    recompute_mlp_mask=s[4])
 
-                def f(lat, t_vec, state, i):
-                    return model.forward(params, lat, txt, t_vec, y, state,
-                                         step, guidance=g,
-                                         key=jax.random.fold_in(key, i),
-                                         pe=pe, txt_mask=txt_mask)
-                return f
+                    def f(lat, t_vec, state, i):
+                        return model.forward(params, lat, txt, t_vec, y,
+                                             state, step, guidance=g,
+                                             key=jax.random.fold_in(key, i),
+                                             pe=pe, txt_mask=txt_mask)
+                    return f
 
-            branches = [model_branch(s) for s in uniq]
+                branches = [model_branch(s) for s in uniq]
 
-            def body(carry, x):
-                lat, state = carry
-                i, kind, t_curr, t_end = x
-                t_vec = jnp.full((B,), t_curr, jnp.float32)
-                pred, state2 = jax.lax.switch(kind, branches, lat, t_vec,
-                                              state, i)
-                # t_end covers this step plus any folded skipped steps
-                lat2 = (lat + (t_end - t_curr) * pred).astype(lat.dtype)
-                return (lat2, state2), None
+                def body(carry, x):
+                    lat, state = carry
+                    i, kind, t_curr, t_end = x
+                    t_vec = jnp.full((B,), t_curr, jnp.float32)
+                    pred, state2 = jax.lax.switch(kind, branches, lat,
+                                                  t_vec, state, i)
+                    # t_end covers this step plus any folded skipped steps
+                    lat2 = (lat + (t_end - t_curr) * pred).astype(lat.dtype)
+                    return (lat2, state2), None
 
-            (lat_f, state_f), _ = jax.lax.scan(body, (lat, state0), xs)
-            # returned ONLY so state0's donation has an output to alias
-            # with (an unmatched donated input is unusable and XLA copies
-            # the whole cache carry); discarded by the caller untransferred
-            return lat_f, state_f
+                (lat_f, state_f), _ = jax.lax.scan(body, (lat, state0), xs)
+                # state returned so state0's donation has an output to
+                # alias with (an unmatched donated input is unusable and
+                # XLA copies the whole cache carry) AND so chunked
+                # dispatches can thread it to the next window
+                return lat_f, state_f
 
-        # CPU ignores donation with a warning, so gate on backend
-        don = (2,) if jax.default_backend() != 'cpu' else ()
-        _JIT_CACHE[cache_key] = jax.jit(run, donate_argnums=don)
-    out, _state_f = _JIT_CACHE[cache_key](params, latents, state0, xs,
-                                          txt, y, pe, g, key, txt_mask)
-    del _state_f
-    return out
+            # CPU ignores donation with a warning, so gate on backend
+            don = (2,) if jax.default_backend() != 'cpu' else ()
+            _JIT_CACHE[cache_key] = jax.jit(run, donate_argnums=don)
+        return _JIT_CACHE[cache_key]
+
+    lat, state = latents, state0
+    for start, length in _chunk_slices(len(idxs), chunk):
+        xs_w = jax.tree_util.tree_map(lambda a: a[start:start + length], xs)
+        lat, state = get_runner(length)(params, lat, state, xs_w, txt, y,
+                                        pe, g, key, txt_mask)
+    del state
+    return lat
 
 
 def wan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
                          ctx_cond: jnp.ndarray, ctx_uncond: jnp.ndarray,
                          timesteps: jnp.ndarray, guide_scale: float = 5.0,
-                         key: Optional[jax.Array] = None) -> jnp.ndarray:
-    """Single-dispatch CFG loop: both invocations (cond/uncond, each with
-    its own cache state) inside one scanned step.  Skipped steps fold
+                         key: Optional[jax.Array] = None,
+                         chunk: Optional[int] = None) -> jnp.ndarray:
+    """Compiled CFG loop: both invocations (cond/uncond, each with its
+    own cache state) inside one scanned step.  Skipped steps fold
     into the preceding computed step's Euler window
     (schedule.fold_skip_steps) — the pass-through skip branch previously
     made XLA copy both cache-state carries each step (2 x 2.81 GiB at the
-    real 32k grid -> OOM)."""
+    real 32k grid -> OOM).  chunk: computed steps per dispatch (see
+    hunyuan_denoise_compiled; None = single dispatch)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     B = latents.shape[0]
     plan = step_plan(model.ck)
@@ -264,48 +295,57 @@ def wan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
     xs = (jnp.asarray(idxs, jnp.int32), kinds, jnp.stack(t_c),
           jnp.stack(t_e))
 
-    cache_key = ('wan', _model_token(model), n, tuple(idxs), latents.shape,
-                 str(latents.dtype), tuple(kind_ix), float(guide_scale))
-    if cache_key not in _JIT_CACHE:
-        def run(params, lat, st_c, st_u, xs, ctx_c, ctx_u, key):
-            def model_branch(s):
-                step = FluxStep(index=s[0], full_attn=s[1], full_mlp=s[2],
-                                colsum=s[3], recompute_mlp_mask=s[4])
+    def get_runner(length: int):
+        cache_key = ('wan', _model_token(model), length, tuple(uniq),
+                     latents.shape, str(latents.dtype), float(guide_scale))
+        if cache_key not in _JIT_CACHE:
+            def run(params, lat, st_c, st_u, xs, ctx_c, ctx_u, key):
+                def model_branch(s):
+                    step = FluxStep(index=s[0], full_attn=s[1],
+                                    full_mlp=s[2], colsum=s[3],
+                                    recompute_mlp_mask=s[4])
 
-                def f(lat, t_vec, st_c, st_u, i):
-                    k_i = jax.random.fold_in(key, i)
-                    p_c, st_c = model.forward(params, lat, ctx_c, t_vec,
-                                              st_c, step, key=k_i, pe=pe)
-                    p_u, st_u = model.forward(params, lat, ctx_u, t_vec,
-                                              st_u, step, key=k_i, pe=pe)
-                    return (p_u + guide_scale * (p_c - p_u)), st_c, st_u
-                return f
+                    def f(lat, t_vec, st_c, st_u, i):
+                        k_i = jax.random.fold_in(key, i)
+                        p_c, st_c = model.forward(params, lat, ctx_c,
+                                                  t_vec, st_c, step,
+                                                  key=k_i, pe=pe)
+                        p_u, st_u = model.forward(params, lat, ctx_u,
+                                                  t_vec, st_u, step,
+                                                  key=k_i, pe=pe)
+                        return (p_u + guide_scale * (p_c - p_u)), st_c, st_u
+                    return f
 
-            branches = [model_branch(s) for s in uniq]
+                branches = [model_branch(s) for s in uniq]
 
-            def body(carry, x):
-                lat, st_c, st_u = carry
-                i, kind, t_curr, t_end = x
-                t_vec = jnp.full((B,), t_curr, jnp.float32)
-                pred, st_c, st_u = jax.lax.switch(
-                    kind, branches, lat, t_vec, st_c, st_u, i)
-                # t_end covers this step plus any folded skipped steps
-                lat2 = (lat + (t_end - t_curr) * pred).astype(lat.dtype)
-                return (lat2, st_c, st_u), None
+                def body(carry, x):
+                    lat, st_c, st_u = carry
+                    i, kind, t_curr, t_end = x
+                    t_vec = jnp.full((B,), t_curr, jnp.float32)
+                    pred, st_c, st_u = jax.lax.switch(
+                        kind, branches, lat, t_vec, st_c, st_u, i)
+                    # t_end covers this step plus any folded skipped steps
+                    lat2 = (lat + (t_end - t_curr) * pred).astype(lat.dtype)
+                    return (lat2, st_c, st_u), None
 
-            (lat_f, st_cf, st_uf), _ = jax.lax.scan(body, (lat, st_c, st_u),
-                                                    xs)
-            # final states returned ONLY so the donated st_c/st_u have
-            # outputs to alias with (an unmatched donated input is
-            # unusable and XLA copies both cache carries — 2 x 2.81 GiB
-            # at the 32k grid -> OOM); discarded untransferred
-            return lat_f, st_cf, st_uf
+                (lat_f, st_cf, st_uf), _ = jax.lax.scan(
+                    body, (lat, st_c, st_u), xs)
+                # final states returned so the donated st_c/st_u have
+                # outputs to alias with (an unmatched donated input is
+                # unusable and XLA copies both cache carries — 2 x
+                # 2.81 GiB at the 32k grid -> OOM) AND so chunked
+                # dispatches can thread them to the next window
+                return lat_f, st_cf, st_uf
 
-        # CPU ignores donation with a warning, so gate on backend
-        don = (2, 3) if jax.default_backend() != 'cpu' else ()
-        _JIT_CACHE[cache_key] = jax.jit(run, donate_argnums=don)
-    out, _st_c, _st_u = _JIT_CACHE[cache_key](params, latents, st_c0,
-                                              st_u0, xs, ctx_cond,
-                                              ctx_uncond, key)
-    del _st_c, _st_u
-    return out
+            # CPU ignores donation with a warning, so gate on backend
+            don = (2, 3) if jax.default_backend() != 'cpu' else ()
+            _JIT_CACHE[cache_key] = jax.jit(run, donate_argnums=don)
+        return _JIT_CACHE[cache_key]
+
+    lat, st_c, st_u = latents, st_c0, st_u0
+    for start, length in _chunk_slices(len(idxs), chunk):
+        xs_w = jax.tree_util.tree_map(lambda a: a[start:start + length], xs)
+        lat, st_c, st_u = get_runner(length)(params, lat, st_c, st_u, xs_w,
+                                             ctx_cond, ctx_uncond, key)
+    del st_c, st_u
+    return lat

@@ -94,6 +94,13 @@ def main():
                     help='persistent prompt loop reusing the compiled '
                          'sampler across generations (reference '
                          'sample_video.py:61-117)')
+    ap.add_argument('--chunk', type=int, default=None,
+                    help='computed steps per scan dispatch in the '
+                         'compiled denoise loop (None = the whole loop '
+                         'as one program; small chunks suit runtimes '
+                         'that bound single-program execution time '
+                         'while still amortizing the per-step host '
+                         'dispatch residual)')
     args = ap.parse_args()
 
     if args.multihost:
@@ -221,7 +228,8 @@ def main():
             else:
                 out = hunyuan_denoise_compiled(model, params, lat, txt, y,
                                                ts, key=ks[2],
-                                               txt_mask=txt_mask)
+                                               txt_mask=txt_mask,
+                                               chunk=args.chunk)
             jax.block_until_ready(out)
         gen_counter['i'] += 1
         print(f"done in {time.perf_counter()-t0:.1f}s")

@@ -61,11 +61,17 @@ def main():
                          'USP which bypasses chipmunk).  num_heads must '
                          'be divisible by sp.')
     ap.add_argument('--loop', default='host', choices=['host', 'compiled'],
-                    help='host = one jitted program per step kind (default; '
-                         'the single-dispatch scan crashed the TPU worker '
-                         'at the real 32k grid, '
-                         'results/bench_wan_compiled.log); compiled = whole '
-                         'CFG loop as one lax.scan dispatch')
+                    help='host = one jitted program per step kind; '
+                         'compiled = the CFG loop as lax.scan dispatches '
+                         '(fastest — with --chunk on runtimes that bound '
+                         'single-program execution time; '
+                         'results/bench_wan_chunked.log)')
+    ap.add_argument('--chunk', type=int, default=None,
+                    help='with --loop compiled: computed steps per scan '
+                         'dispatch (None = the whole loop as one program; '
+                         'small chunks suit runtimes that bound single-'
+                         'program execution time while still amortizing '
+                         'the per-step host dispatch residual)')
     args = ap.parse_args()
 
     ck = (load_config(args.chipmunk_config) if args.chipmunk_config
@@ -138,7 +144,13 @@ def main():
     # should_profile AND generation_index >= 3; one generation per
     # process here, so the yml asks for a trace with both keys)
     from chipmunk_tpu.utils.profiling import profile_region
-    den = wan_denoise_compiled if args.loop == 'compiled' else wan_denoise
+    if args.loop == 'compiled':
+        def den(model, params, lat, ctx_c, ctx_u, ts, guide_scale, key):
+            return wan_denoise_compiled(model, params, lat, ctx_c, ctx_u,
+                                        ts, guide_scale=guide_scale,
+                                        key=key, chunk=args.chunk)
+    else:
+        den = wan_denoise
     with profile_region('./profiles', enabled=ck.should_profile,
                         warmup_done=ck.generation_index >= 3):
         out = den(model, params, lat, ctx_c, ctx_u, ts,

@@ -56,7 +56,7 @@ def log(*a):
 
 
 def bench_one(name, steps=50, trials=1, side='both', loop='host',
-              wq=None):
+              wq=None, chunk=None):
     streamed_mode = name.endswith('-streamed')
     base = name[:-len('-streamed')] if streamed_mode else name
     (lt, lh, lw), (dd, ds), quant = SCALES[base]
@@ -118,7 +118,8 @@ def bench_one(name, steps=50, trials=1, side='both', loop='host',
                 # round trips (the tunnel charges per dispatch; docs/
                 # DESIGN.md "Single-dispatch denoise loops")
                 out = hunyuan_denoise_compiled(m, params, lat, txt, y, ts,
-                                               key=jax.random.PRNGKey(7))
+                                               key=jax.random.PRNGKey(7),
+                                               chunk=chunk)
             else:
                 streamed = (m.make_streamed(n_chunks_double=nd,
                                             n_chunks_single=ns)
@@ -172,6 +173,11 @@ def main():
                     choices=['both', 'dense', 'sparse'])
     ap.add_argument('--loop', default='host',
                     choices=['host', 'compiled'])
+    ap.add_argument('--chunk', type=int, default=None,
+                    help='with --loop compiled: computed steps per '
+                         'dispatch (the dev tunnel kills ~minute-plus '
+                         'single dispatches; chunking keeps each window '
+                         'short while amortizing the host residual)')
     ap.add_argument('--wq', default=None,
                     choices=['int4', 'int8', 'float8_e4m3fn'],
                     help='override the weight-quant dtype of the full* '
@@ -181,7 +187,8 @@ def main():
     for name in args.scale.split(','):
         rows.append(bench_one(name.strip(), steps=args.steps,
                               trials=args.trials, side=args.side,
-                              loop=args.loop, wq=args.wq))
+                              loop=args.loop, wq=args.wq,
+                              chunk=args.chunk))
     print(json.dumps({"metric": "hunyuan_e2e_speedup_curve",
                       "reference_baseline":
                           "HunyuanVideo e2e 3.72x (README.md:87)",

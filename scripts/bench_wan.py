@@ -62,6 +62,13 @@ def main():
                     help='compiled = single-dispatch lax.scan denoise '
                          'loop (wan_denoise_compiled): no per-step host '
                          'round trips, same loop for both sides')
+    ap.add_argument('--side', default='both',
+                    choices=['both', 'dense', 'sparse'])
+    ap.add_argument('--chunk', type=int, default=None,
+                    help='with --loop compiled: computed steps per '
+                         'dispatch (the dev tunnel kills ~minute-plus '
+                         'single dispatches; chunking keeps each window '
+                         'short while amortizing the host residual)')
     args = ap.parse_args()
     on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
     lt, lh, lw = args.latent
@@ -101,8 +108,12 @@ def main():
                               cfg.dtype)
     ts = get_schedule(args.steps, cfg.seq_len, shift=False)
 
-    denoise = (wan_denoise_compiled if args.loop == 'compiled'
-               else wan_denoise)
+    if args.loop == 'compiled':
+        def denoise(m, params, lat, ctx_c, ctx_u, ts, key):
+            return wan_denoise_compiled(m, params, lat, ctx_c, ctx_u, ts,
+                                        key=key, chunk=args.chunk)
+    else:
+        denoise = wan_denoise
 
     def run(ck, tag):
         m = WanModel(cfg=cfg, ck=ck, use_kernels=on_tpu)
@@ -126,9 +137,20 @@ def main():
         log(f"dense: reusing supplied wall-clock {args.dense_s:.2f}s "
             f"(--dense-s; not re-measured this run)")
         t_d = args.dense_s
-    else:
+    elif args.side in ('both', 'dense'):
         t_d = run(dense_ck, 'dense')
-    t_s = run(sparse_ck, 'sparse')
+    else:
+        t_d = None
+    t_s = run(sparse_ck, 'sparse') if args.side in ('both', 'sparse') \
+        else None
+    if t_d is None or t_s is None:
+        log(f"single side done: dense={t_d} sparse={t_s}")
+        print(json.dumps({"metric": "wan_e2e_single_side",
+                          "seq": cfg.seq_len, "layers": args.layers,
+                          "dense_s": t_d, "sparse_s": t_s,
+                          "loop": args.loop, "chunk": args.chunk,
+                          "steps": args.steps}))
+        return
     log(f"dense {t_d:.2f}s sparse {t_s:.2f}s -> {t_d/t_s:.3f}x")
     print(json.dumps({
         "metric": "wan_e2e_speedup_sparse_vs_dense",

@@ -127,6 +127,13 @@ def test_hunyuan_compiled_loop_runs():
                                      key=jax.random.PRNGKey(5))
     np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_l),
                                atol=2e-4, rtol=2e-4)
+    # chunked dispatch (windows of 3 + remainder 1 over 4 computed steps)
+    # must match the single dispatch exactly — same compiled step math,
+    # only the dispatch granularity differs
+    out_ck = hunyuan_denoise_compiled(m, params, lat, txt, y, ts,
+                                      key=jax.random.PRNGKey(5), chunk=3)
+    np.testing.assert_allclose(np.asarray(out_ck), np.asarray(out_c),
+                               atol=1e-6, rtol=1e-6)
 
 
 def tiny_hunyuan_padded(sparse=True):

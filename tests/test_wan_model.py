@@ -102,6 +102,14 @@ def test_wan_compiled_loop_matches():
                                  key=jax.random.PRNGKey(5))
     np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_l),
                                atol=2e-4, rtol=2e-4)
+    # chunked dispatch threads the (latents, cache-state) carry across
+    # windows; chunk=3 over 4 computed steps exercises the remainder
+    # runner (windows of 3 + 1) — must match the single dispatch exactly
+    # (same compiled step math, only the dispatch granularity differs)
+    out_ck = wan_denoise_compiled(m, params, lat, ctx_c, ctx_u, ts,
+                                  key=jax.random.PRNGKey(5), chunk=3)
+    np.testing.assert_allclose(np.asarray(out_ck), np.asarray(out_c),
+                               atol=1e-6, rtol=1e-6)
 
 
 def test_wan_batch2_matches_two_singles():
