@@ -166,6 +166,29 @@ def _chunk_slices(n: int, chunk: Optional[int]):
     return out
 
 
+def _kind_pure_windows(kind_ix, chunk: int):
+    """(start, length, kind) windows that never cross a step-kind
+    boundary, each at most ``chunk`` steps.  Used by the chunked
+    compiled loops: a window of ONE static kind compiles to a
+    single-branch scan (no ``lax.switch``), which XLA carry-aliases
+    cleanly — the multi-branch scan copies state components whose
+    aliasing differs between branches (measured: a 2.73G out_cache
+    HLO-temp copy at Hunyuan 119k, results/hy_video_sparse_chunked.log,
+    and a 3.39G compile OOM at full30k) — and runs the same schedule
+    math (windows partition the computed-step sequence in order)."""
+    wins = []
+    s = 0
+    n = len(kind_ix)
+    while s < n:
+        e = s
+        while e < n and kind_ix[e] == kind_ix[s]:
+            e += 1
+        for w in range(s, e, chunk):
+            wins.append((w, min(chunk, e - w), kind_ix[s]))
+        s = e
+    return wins
+
+
 def hunyuan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
                              txt: jnp.ndarray, y: jnp.ndarray,
                              timesteps: jnp.ndarray,
@@ -179,16 +202,20 @@ def hunyuan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
     the preceding computed step's Euler window (schedule.fold_skip_steps)
     so no pass-through branch forces XLA to copy the cache-state carry.
 
-    chunk: computed steps per dispatch.  None = the whole loop as ONE
-    program (the production shape).  A small chunk keeps each dispatch
-    under environments that bound single-program execution time (the
-    axon dev tunnel's TPU worker dies on ~minute-plus dispatches,
-    results/bench_wan_compiled_*.log) while still amortizing the
+    chunk: max computed steps per dispatch.  None = the whole loop as
+    ONE program (the production shape; step kinds are scan data through
+    lax.switch).  With chunk=N the loop dispatches KIND-PURE windows
+    (never crossing a step-kind boundary, _kind_pure_windows): each
+    window compiles to a single-branch scan that XLA carry-aliases
+    cleanly — the multi-branch scan copies state components whose
+    aliasing differs between branches (a 2.73G HLO-temp at 119k) —
+    and one compiled runner serves every window of the same (kind,
+    length).  Chunking keeps each dispatch under environments that
+    bound single-program execution time (the axon dev tunnel's TPU
+    worker dies on ~minute-plus dispatches) while amortizing the
     per-step host dispatch residual ~chunk-fold; the carry (latents +
     cache states) threads between dispatches, so the math is identical
-    at every chunk size.  One compiled program serves all equal-length
-    chunks: the step-kind sequence is scan DATA (lax.switch over a small
-    static branch set), not a static attribute of the program."""
+    at every chunk size."""
     key = key if key is not None else jax.random.PRNGKey(0)
     B = latents.shape[0]
     plan = step_plan(model.ck)
@@ -211,8 +238,12 @@ def hunyuan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
     xs = (jnp.asarray(idxs, jnp.int32), kinds, jnp.stack(t_c),
           jnp.stack(t_e))
 
-    def get_runner(length: int):
-        cache_key = ('hunyuan', _model_token(model), length, tuple(uniq),
+    def get_runner(length: int, kinds_set):
+        """kinds_set: the step-kind signatures this runner can execute.
+        One sig -> single-branch scan (no lax.switch; XLA carry-aliases
+        cleanly, see _kind_pure_windows); several -> lax.switch over
+        them (the single-dispatch whole-loop program)."""
+        cache_key = ('hunyuan', _model_token(model), length, kinds_set,
                      latents.shape, str(latents.dtype),
                      g is None, txt_mask is None)
         if cache_key not in _JIT_CACHE:
@@ -229,14 +260,17 @@ def hunyuan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
                                              pe=pe, txt_mask=txt_mask)
                     return f
 
-                branches = [model_branch(s) for s in uniq]
+                branches = [model_branch(s) for s in kinds_set]
 
                 def body(carry, x):
                     lat, state = carry
                     i, kind, t_curr, t_end = x
                     t_vec = jnp.full((B,), t_curr, jnp.float32)
-                    pred, state2 = jax.lax.switch(kind, branches, lat,
-                                                  t_vec, state, i)
+                    if len(branches) == 1:
+                        pred, state2 = branches[0](lat, t_vec, state, i)
+                    else:
+                        pred, state2 = jax.lax.switch(kind, branches, lat,
+                                                      t_vec, state, i)
                     # t_end covers this step plus any folded skipped steps
                     lat2 = (lat + (t_end - t_curr) * pred).astype(lat.dtype)
                     return (lat2, state2), None
@@ -253,11 +287,17 @@ def hunyuan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
             _JIT_CACHE[cache_key] = jax.jit(run, donate_argnums=don)
         return _JIT_CACHE[cache_key]
 
+    n_c = len(idxs)
+    if not chunk or chunk >= n_c:
+        windows = [(0, n_c, None)]          # whole loop, multi-branch
+    else:
+        windows = _kind_pure_windows(kind_ix, chunk)
     lat, state = latents, state0
-    for start, length in _chunk_slices(len(idxs), chunk):
+    for start, length, k in windows:
         xs_w = jax.tree_util.tree_map(lambda a: a[start:start + length], xs)
-        lat, state = get_runner(length)(params, lat, state, xs_w, txt, y,
-                                        pe, g, key, txt_mask)
+        ks = tuple(uniq) if k is None else (uniq[k],)
+        lat, state = get_runner(length, ks)(params, lat, state, xs_w, txt,
+                                            y, pe, g, key, txt_mask)
     del state
     return lat
 
@@ -295,8 +335,9 @@ def wan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
     xs = (jnp.asarray(idxs, jnp.int32), kinds, jnp.stack(t_c),
           jnp.stack(t_e))
 
-    def get_runner(length: int):
-        cache_key = ('wan', _model_token(model), length, tuple(uniq),
+    def get_runner(length: int, kinds_set):
+        """See hunyuan_denoise_compiled.get_runner: one sig -> no switch."""
+        cache_key = ('wan', _model_token(model), length, kinds_set,
                      latents.shape, str(latents.dtype), float(guide_scale))
         if cache_key not in _JIT_CACHE:
             def run(params, lat, st_c, st_u, xs, ctx_c, ctx_u, key):
@@ -316,14 +357,18 @@ def wan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
                         return (p_u + guide_scale * (p_c - p_u)), st_c, st_u
                     return f
 
-                branches = [model_branch(s) for s in uniq]
+                branches = [model_branch(s) for s in kinds_set]
 
                 def body(carry, x):
                     lat, st_c, st_u = carry
                     i, kind, t_curr, t_end = x
                     t_vec = jnp.full((B,), t_curr, jnp.float32)
-                    pred, st_c, st_u = jax.lax.switch(
-                        kind, branches, lat, t_vec, st_c, st_u, i)
+                    if len(branches) == 1:
+                        pred, st_c, st_u = branches[0](lat, t_vec, st_c,
+                                                       st_u, i)
+                    else:
+                        pred, st_c, st_u = jax.lax.switch(
+                            kind, branches, lat, t_vec, st_c, st_u, i)
                     # t_end covers this step plus any folded skipped steps
                     lat2 = (lat + (t_end - t_curr) * pred).astype(lat.dtype)
                     return (lat2, st_c, st_u), None
@@ -342,10 +387,17 @@ def wan_denoise_compiled(model, params: Dict, latents: jnp.ndarray,
             _JIT_CACHE[cache_key] = jax.jit(run, donate_argnums=don)
         return _JIT_CACHE[cache_key]
 
+    n_c = len(idxs)
+    if not chunk or chunk >= n_c:
+        windows = [(0, n_c, None)]          # whole loop, multi-branch
+    else:
+        windows = _kind_pure_windows(kind_ix, chunk)
     lat, st_c, st_u = latents, st_c0, st_u0
-    for start, length in _chunk_slices(len(idxs), chunk):
+    for start, length, k in windows:
         xs_w = jax.tree_util.tree_map(lambda a: a[start:start + length], xs)
-        lat, st_c, st_u = get_runner(length)(params, lat, st_c, st_u, xs_w,
-                                             ctx_cond, ctx_uncond, key)
+        ks = tuple(uniq) if k is None else (uniq[k],)
+        lat, st_c, st_u = get_runner(length, ks)(params, lat, st_c, st_u,
+                                                 xs_w, ctx_cond, ctx_uncond,
+                                                 key)
     del st_c, st_u
     return lat
